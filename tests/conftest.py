@@ -1,0 +1,31 @@
+"""Test configuration.
+
+Multi-host logic is tested on CPU with a virtual 8-device mesh, per the project
+test strategy (SURVEY.md section 4): the reference has no automated tests at all,
+so this suite *is* the test pyramid for the framework.
+"""
+import os
+
+# Run tests on CPU with 8 virtual devices so the sharding paths compile and
+# execute without TPU hardware.  NB: this environment pre-imports jax at
+# interpreter startup (sitecustomize), so JAX_PLATFORMS/XLA_FLAGS env vars set
+# here are already too late — the config update below is the reliable override.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+# Physics validation wants float64 on CPU.
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
