@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ._xp import xp_for
 from .config import Config, Dims, Geometry
 
 
@@ -34,6 +35,7 @@ def mcrat_to_hydro(cfg: Config, x, y, z):
     Vectorized equivalent of mcratCoordinateToHydroCoordinate
     (reference: Src/geometry.c:15-64). Returns (r0, r1, r2); in 2-D, r2 is 0.
     """
+    jnp = xp_for(x, y, z)  # numpy on host, jax.numpy when traced
     if cfg.dims is Dims.THREE:
         if cfg.geometry is Geometry.CARTESIAN:
             return x, y, z
@@ -66,6 +68,7 @@ def hydro_to_spherical(cfg: Config, r0, r1, r2):
     Vectorized equivalent of hydroCoordinateToSpherical (reference:
     Src/geometry.c:66-106).
     """
+    jnp = xp_for(r0, r1, r2)  # numpy on host, jax.numpy when traced
     if cfg.dims is Dims.THREE:
         if cfg.geometry is Geometry.CARTESIAN:
             r = jnp.sqrt(r0 * r0 + r1 * r1 + r2 * r2)
@@ -96,6 +99,7 @@ def hydro_to_mcrat(cfg: Config, r0, r1, r2):
     Src/geometry.c:108-154). In 2-D, pass the azimuth phi in ``r2`` (the system
     is axisymmetric, so the caller chooses phi).
     """
+    jnp = xp_for(r0, r1, r2)  # numpy on host, jax.numpy when traced
     if cfg.dims is Dims.THREE:
         if cfg.geometry is Geometry.CARTESIAN:
             return r0, r1, r2
@@ -121,6 +125,7 @@ def hydro_vector_to_cartesian(cfg: Config, v0, v1, v2, x0, x1, x2):
     2.5-D carries a phi-hat component in v2 with (r, z, phi) ordering
     (reference: geometry.c:214-218).
     """
+    jnp = xp_for(v0, v1, v2, x0, x1, x2)  # numpy on host, jax.numpy when traced
     g, d = cfg.geometry, cfg.dims
     if d is Dims.TWO:
         if g in (Geometry.CARTESIAN, Geometry.CYLINDRICAL):
@@ -170,6 +175,7 @@ def element_volume(cfg: Config, r0, r1, r2, dr0, dr1, dr2):
 
     Vectorized equivalent of hydroElementVolume (reference: Src/geometry.c:255-296).
     """
+    jnp = xp_for(r0, r1, dr0, dr1)  # numpy on host, jax.numpy when traced
     r0_min, r0_max = r0 - 0.5 * dr0, r0 + 0.5 * dr0
     r1_min, r1_max = r1 - 0.5 * dr1, r1 + 0.5 * dr1
     g = cfg.geometry
@@ -204,6 +210,7 @@ def in_block(r0, r1, r2, c0, c1, c2, s0, s1, s2, use_r2: bool):
     Vectorized equivalent of checkInBlock (reference: Src/geometry.c:394-417).
     Broadcasts photon coords against candidate cell centers/sizes.
     """
+    jnp = xp_for(r0, r1, c0, c1)  # numpy on host, jax.numpy when traced
     ok = (2.0 * jnp.abs(r0 - c0) - s0 <= 0) & (2.0 * jnp.abs(r1 - c1) - s1 <= 0)
     if use_r2:
         ok = ok & (2.0 * jnp.abs(r2 - c2) - s2 <= 0)

@@ -39,7 +39,7 @@ def kn_cross_section(energy_ratio):
     return jnp.where(e >= 1e-3, full, 1.0 - 2.0 * e)
 
 
-def sample_kn_angles(key, e0, q, u, stokes_on: bool, max_iters: int = 256):
+def sample_kn_angles(key, e0, q, u, stokes_on: bool, max_iters: int = 24):
     """Sample (theta, phi) from the polarized KN differential cross section.
 
     Vectorized kleinNishinaScatter's angle stage (reference:
@@ -192,7 +192,7 @@ def single_scatter(key, el_p, ph_p, s, stokes_on: bool = True) -> ScatterResult:
         x_n, y_n = find_xy(scat_vec, ph_orig_vec)
         s_work2 = mueller_rotate(find_phi(x_t, y_t, x_n, y_n), s_work)
         # Scattering angle from the actual vectors (reference: :408).
-        cos_sc = jnp.sum(ph_orig_vec * scat_vec, axis=-1) / jnp.maximum(e0 * e1, 1e-300)
+        cos_sc = jnp.sum(ph_orig_vec * scat_vec, axis=-1) / jnp.maximum(e0 * e1, jnp.finfo(e0.dtype).tiny)
         cos_sc = jnp.clip(cos_sc, -1.0, 1.0)
         s_work2 = fano_scatter_stokes(s_work2, e0, e1, cos_sc)
         # Rotate from the scattering plane back to the z-hat basis

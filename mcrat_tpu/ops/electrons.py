@@ -23,7 +23,7 @@ from .special import bessel_k2e
 T_RELATIVISTIC = 1e7
 
 
-def sample_thermal_gamma(key, temp, max_iters: int = 512):
+def sample_thermal_gamma(key, temp, max_iters: int = 24):
     """Sample electron Lorentz factors from a thermal distribution at ``temp`` [K].
 
     Vectorized sampleThermalElectron (reference: Src/electron.c:202-237).
@@ -46,6 +46,11 @@ def sample_thermal_gamma(key, temp, max_iters: int = 512):
         y = jax.random.uniform(k2, shape, dtype=dtype) / 2.0
         return (x, y)
 
+    # Lanes on the non-relativistic branch auto-accept so batched lanes with
+    # cold cells cannot stall the whole-population rejection loop (their value
+    # is replaced by the Gaussian draw below anyway).
+    nonrel = temp < T_RELATIVISTIC
+
     def accept2(x, y):
         # x < 1 would give beta = nan in the reference; those proposals are
         # rejected there via the isnan check (Src/electron.c:214).
@@ -54,7 +59,7 @@ def sample_thermal_gamma(key, temp, max_iters: int = 512):
         # f = x^2 beta exp(-(x-1)/theta)/K2e(1/theta): exactly the reference's
         # x^2 beta exp(-x/theta)/K2(1/theta), written in overflow-safe form.
         f = x * x * beta * jnp.exp(-(x - 1.0) / theta) / k2e
-        return valid & (y < f)
+        return nonrel | (valid & (y < f))
 
     (gamma_rel, _y) = batched_rejection(
         k_rel,

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .._xp import xp_for
+
 
 def lorentz_boost(beta, p, photon: bool = True):
     """Boost four-momenta ``p`` (..., 4) by 3-velocity ``beta`` (..., 3).
@@ -28,6 +30,7 @@ def lorentz_boost(beta, p, photon: bool = True):
     When ``photon`` is True the null-norm condition is re-imposed on the result
     (reference applies zeroNorm to photons only).
     """
+    jnp = xp_for(beta, p)  # numpy on host, jax.numpy when traced
     b2 = jnp.sum(beta * beta, axis=-1, keepdims=True)
     # Guard the b2 -> 0 limit: (g-1)/b2 -> g^2/(g+1), finite. Use safe divide.
     safe_b2 = jnp.where(b2 > 0, b2, 1.0)
@@ -53,9 +56,10 @@ def zero_norm(p):
     Vectorized zeroNorm (reference: Src/mclib.c:409-434): rescales the spatial
     part so its norm equals p0.
     """
+    jnp = xp_for(p)  # numpy on host, jax.numpy when traced
     pv = p[..., 1:]
     norm = jnp.sqrt(jnp.sum(pv * pv, axis=-1, keepdims=True))
-    scale = jnp.where(norm > 0, p[..., :1] / jnp.maximum(norm, 1e-300), 1.0)
+    scale = jnp.where(norm > 0, p[..., :1] / jnp.maximum(norm, jnp.finfo(p.dtype).tiny), 1.0)
     return jnp.concatenate([p[..., :1], pv * scale], axis=-1)
 
 

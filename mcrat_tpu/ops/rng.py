@@ -25,9 +25,9 @@ def batched_rejection(
     propose: Callable[[jax.Array], Tuple],
     accept: Callable[..., jax.Array],
     init: Tuple,
-    max_iters: int = 256,
+    max_iters: int = 24,
 ):
-    """Vectorized rejection sampling.
+    """Vectorized rejection sampling with a *statically unrolled* trial loop.
 
     Parameters
     ----------
@@ -39,30 +39,27 @@ def batched_rejection(
     init: tuple of fallback arrays (same structure as ``propose`` output) used
         for lanes that never accept within ``max_iters`` (should be a valid,
         physically sane draw).
-    max_iters: hard bound on loop trips (safety; acceptance is typically >25%
-        per trip so ~40 trips suffice for 1e7 lanes).
+    max_iters: number of unrolled trials.  Unrolling (instead of a
+        ``lax.while_loop``) keeps the whole sampler one fused VPU kernel: the
+        per-iteration device-loop overhead (~100 us on TPU) would otherwise
+        dominate the transport round cost.  With per-trial acceptance p the
+        residual never-accepted fraction is (1-p)^max_iters — for the KN and
+        Maxwell-Juttner samplers (p >~ 0.3) and the default 24 trials this is
+        <~ 2e-4 of lanes, which keep the (physically valid) ``init`` draw.
 
     Returns the tuple of accepted arrays.
     """
-
-    def cond(carry):
-        i, _key, done, _vals = carry
-        return jnp.logical_and(i < max_iters, ~jnp.all(done))
-
-    def body(carry):
-        i, key, done, vals = carry
-        key, sub = jax.random.split(key)
-        cand = propose(sub)
+    done = jnp.zeros(shape, dtype=bool)
+    vals = tuple(init)
+    for i in range(max_iters):
+        cand = propose(jax.random.fold_in(key, i))
         ok = accept(*cand)
         take = jnp.logical_and(ok, ~done)
-        new_vals = tuple(
+        vals = tuple(
             jnp.where(_bcast(take, v.ndim - len(shape)), c, v)
             for c, v in zip(cand, vals)
         )
-        return i + 1, key, jnp.logical_or(done, ok), new_vals
-
-    done0 = jnp.zeros(shape, dtype=bool)
-    _, _, _, vals = jax.lax.while_loop(cond, body, (0, key, done0, tuple(init)))
+        done = jnp.logical_or(done, ok)
     return vals
 
 

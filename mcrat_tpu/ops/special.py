@@ -27,7 +27,7 @@ def bessel_k0e(z):
         [0.0045813, 0.0360768, 0.2659732, 1.2067492, 3.0899424, 3.5156229, 1.0],
     )
     small = (
-        -jnp.log(jnp.maximum(z, 1e-300) / 2.0) * small_i0
+        -jnp.log(jnp.maximum(z, jnp.finfo(z.dtype).tiny) / 2.0) * small_i0
         + _poly(
             t,
             [0.00000740, 0.00010750, 0.00262698, 0.03488590, 0.23069756, 0.42278420, -0.57721566],
@@ -50,8 +50,8 @@ def bessel_k1e(z):
         [0.00032411, 0.00301532, 0.02658733, 0.15084934, 0.51498869, 0.87890594, 0.5],
     )
     small = (
-        jnp.log(jnp.maximum(z, 1e-300) / 2.0) * small_i1
-        + (1.0 / jnp.maximum(z, 1e-300))
+        jnp.log(jnp.maximum(z, jnp.finfo(z.dtype).tiny) / 2.0) * small_i1
+        + (1.0 / jnp.maximum(z, jnp.finfo(z.dtype).tiny))
         * _poly(
             t,
             [-0.00004686, -0.00110404, -0.01919402, -0.18156897, -0.67278579, 0.15443144, 1.0],

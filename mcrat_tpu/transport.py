@@ -1,0 +1,639 @@
+"""Batched photon transport engine.
+
+TPU-native re-design of the reference transport layer (Src/mclib.c).  The
+reference's event loop is serial per rank: find the globally-smallest scatter
+time, advance *all* photons to it, scatter *one* photon, then resample every
+mean free path and re-sort (Src/mclib.c:617-714, 1107-1356) — O(N log N) work
+per scattering event.  Here every photon advances through its own exponential
+free-path sequence within the frame's time window concurrently:
+
+    while any photon has frame-time left:
+        lookup cell -> tau-rate -> sample dt -> move -> attempt KN scatter
+
+Each photon's chain is independent given the frozen hydro frame (the same
+assumption MCRaT itself makes across MPI ranks), and failed KN attempts are
+null collisions, so the event statistics agree with the reference in
+distribution; the exponential's memorylessness covers the resampling-after-
+every-event behavior of the C code.
+
+Photon state is a fixed-capacity structure-of-arrays pytree with masking
+replacing the reference's null-photon slot recycling (Src/photons.c).
+Four-momenta are dimensionless (units of m_e c); positions are in cm.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .config import Config, Dims, PhotonType, Spectrum, TauCalculation
+from .constants import C_LIGHT, H_OVER_MEC2, K_B, M_P, PL_CONST, THOM_X_SECT
+from . import geometry as geo
+from .grid import HydroFrame, HydroFrameHost, find_cell
+from .ops import compton, electrons
+from .ops.fourvec import lorentz_boost
+from .ops.stokes import stokes_rotation
+
+# Default mean free path for photons outside the grid [cm]
+# (reference: Src/mclib.c:620,684)
+DEFAULT_MFP = 1e12
+
+# Number-density coefficients xi such that n_gamma = xi T'^3 [cm^-3 K^-3]
+# (reference: Src/mclib.c:20-28; MCRaT paper)
+NUM_DENS_COEFF_BB = 20.29
+NUM_DENS_COEFF_WIEN = 8.44
+
+
+@struct.dataclass
+class Photons:
+    """Photon population: pytree of (N,) / (N,k) device arrays.
+
+    Mirrors struct photon (reference: Src/mcrat.h:142-171) as SoA.  ``weight``
+    is normalized by the python-side ``weight_norm`` carried in PhotonsMeta to
+    keep float32-friendly dynamic range.
+    """
+
+    p: jax.Array  # (N, 4) lab four-momentum, units m_e c
+    comv_p: jax.Array  # (N, 4) comoving four-momentum
+    pos: jax.Array  # (N, 3) MCRaT Cartesian position [cm]
+    s: jax.Array  # (N, 4) Stokes (I, Q, U, V), I == 1
+    weight: jax.Array  # (N,) normalized statistical weight; 0 => null slot
+    num_scatt: jax.Array  # (N,)
+    cell: jax.Array  # (N,) int32 containing-cell index; -1 = outside/unknown
+    ptype: jax.Array  # (N,) int32 PhotonType
+
+    @property
+    def capacity(self) -> int:
+        return self.p.shape[0]
+
+    @property
+    def alive(self) -> jax.Array:
+        return (self.weight > 0) & (self.ptype != PhotonType.NULL)
+
+
+class PhotonsMeta(NamedTuple):
+    """Host-side bookkeeping for a photon population."""
+
+    weight_norm: float  # physical weight = weight * weight_norm
+    n_injected: int
+
+
+def empty_photons(capacity: int, dtype) -> Photons:
+    z4 = jnp.zeros((capacity, 4), dtype)
+    return Photons(
+        p=z4,
+        comv_p=z4,
+        pos=jnp.zeros((capacity, 3), dtype),
+        s=z4,
+        weight=jnp.zeros((capacity,), dtype),
+        num_scatt=jnp.zeros((capacity,), dtype),
+        cell=jnp.full((capacity,), -1, jnp.int32),
+        ptype=jnp.full((capacity,), int(PhotonType.NULL), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Injection (host side, numpy float64)
+# ---------------------------------------------------------------------------
+
+
+def _injection_shell_mask(host: HydroFrameHost, rmin, rmax, theta_min, theta_max):
+    """Cells whose corner-spherical extent intersects the injection shell.
+
+    Mirrors the triple-repeated selection in photonInjection (reference:
+    Src/mclib.c:37-70): inner/outer cell corners mapped to spherical (r, theta)
+    with |coords| in 3-D.
+    """
+    cfg = host.cfg
+    if cfg.dims is Dims.THREE:
+        a0, a1, a2 = np.abs(host.r0), np.abs(host.r1), np.abs(host.r2)
+        r_in, t_in = geo.hydro_to_spherical(
+            cfg, a0 - host.dr0 / 2, a1 - host.dr1 / 2, a2 - host.dr2 / 2
+        )
+        r_out, t_out = geo.hydro_to_spherical(
+            cfg, a0 + host.dr0 / 2, a1 + host.dr1 / 2, a2 + host.dr2 / 2
+        )
+    else:
+        r_in, t_in = geo.hydro_to_spherical(
+            cfg, host.r0 - host.dr0 / 2, host.r1 - host.dr1 / 2, 0.0
+        )
+        r_out, t_out = geo.hydro_to_spherical(
+            cfg, host.r0 + host.dr0 / 2, host.r1 + host.dr1 / 2, 0.0
+        )
+    r_in, t_in, r_out, t_out = map(np.asarray, (r_in, t_in, r_out, t_out))
+    return (rmin <= r_out) & (r_in <= rmax) & (t_out >= theta_min) & (t_in <= theta_max)
+
+
+def sample_bb_frequency(rng: np.random.Generator, temp: np.ndarray) -> np.ndarray:
+    """Blackbody photon frequencies via the Bjorkman & Wood (2001) zeta-series
+    inverse method (reference: Src/mclib.c:199-214).
+    """
+    n = len(temp)
+    u1 = rng.random(n)
+    # smallest m with sum_{k<=m} k^-4 >= (pi^4/90) * u1
+    kmax = 128
+    cum = np.cumsum(1.0 / np.arange(1, kmax + 1, dtype=np.float64) ** 4)
+    target = (np.pi**4 / 90.0) * u1
+    m = np.searchsorted(cum, target, side="left") + 1
+    u = rng.random((4, n))
+    u = np.maximum(u, np.finfo(np.float64).tiny)
+    x = -np.log(u[0] * u[1] * u[2] * u[3]) / m
+    return x * K_B * temp / PL_CONST
+
+
+def sample_wien_frequency(rng: np.random.Generator, temp: np.ndarray) -> np.ndarray:
+    """Wien-spectrum frequencies by rejection (reference: Src/mclib.c:177-190)."""
+    n = len(temp)
+    out = np.zeros(n)
+    todo = np.ones(n, dtype=bool)
+    while todo.any():
+        t = temp[todo]
+        fr = rng.random(len(t)) * 6.3e11 * t
+        y = rng.random(len(t))
+        f = (1.0 / 1.29e31) * (fr / t) ** 3 / np.expm1(PL_CONST * fr / (K_B * t))
+        acc = y <= f
+        idx = np.flatnonzero(todo)[acc]
+        out[idx] = fr[acc]
+        todo[idx] = False
+    return out
+
+
+def inject_photons(
+    host: HydroFrameHost,
+    r_inj: float,
+    ph_weight: float,
+    min_photons: int,
+    max_photons: int,
+    spect: Spectrum,
+    theta_min: float,
+    theta_max: float,
+    fps: float,
+    rng: np.random.Generator,
+) -> Tuple[dict, float]:
+    """Inject thermal photons into the shell r_inj +/- c/(2 fps).
+
+    Host-side numpy re-design of photonInjection (reference: Src/mclib.c:9-300):
+    per-cell expected counts n_i = (4/3) dV Gamma xi T'^3 / w drawn Poisson,
+    with the weight auto-tuned x10 / x0.5 until min <= N <= max; per photon a
+    comoving BB/Wien frequency, isotropic comoving direction boosted to the
+    lab, uniform position inside the cell, Stokes (1,0,0,0).
+
+    Returns (dict of numpy photon arrays, adjusted_weight).
+    """
+    cfg = host.cfg
+    xi = NUM_DENS_COEFF_WIEN if spect is Spectrum.WIEN else NUM_DENS_COEFF_BB
+    rmin = r_inj - 0.5 * C_LIGHT / fps
+    rmax = r_inj + 0.5 * C_LIGHT / fps
+    mask = _injection_shell_mask(host, rmin, rmax, theta_min, theta_max)
+    sel = np.flatnonzero(mask)
+    if len(sel) == 0:
+        raise ValueError(
+            f"no hydro cells intersect injection shell r={r_inj:.3e} +/- "
+            f"{0.5*C_LIGHT/fps:.3e}, theta in [{theta_min}, {theta_max}]"
+        )
+    dv = host.volumes()[sel]
+    mean_unw = (4.0 / 3.0) * dv * host.gamma[sel] * xi * host.temp[sel] ** 3
+
+    w = ph_weight
+    # Coarse pre-scaling without sampling: brings the expected total into a
+    # range where the Poisson draws are well defined (numpy rejects lam >
+    # ~9e18; the reference's x10/x0.5 loop would get there eventually anyway,
+    # Src/mclib.c:121-131).
+    total = float(mean_unw.sum())
+    while total / w > 10.0 * max_photons:
+        w *= 10.0
+    while total / w < 0.1 * max(min_photons, 1):
+        w *= 0.5
+    for _ in range(200):
+        counts = rng.poisson(mean_unw / w)
+        ph_tot = int(counts.sum())
+        if ph_tot > max_photons:
+            w *= 10.0
+        elif ph_tot < min_photons:
+            w *= 0.5
+        else:
+            break
+    else:
+        raise RuntimeError("injection weight auto-tune did not converge")
+
+    cell_idx = np.repeat(sel, counts)
+    n = len(cell_idx)
+    temp = host.temp[cell_idx]
+
+    if spect is Spectrum.WIEN:
+        fr = sample_wien_frequency(rng, temp)
+    else:
+        fr = sample_bb_frequency(rng, temp)
+    # dimensionless photon energy h nu / (m_e c^2)
+    e_hat = fr * H_OVER_MEC2
+
+    # isotropic comoving direction (reference: mclib.c:225-233)
+    com_phi = rng.random(n) * 2.0 * np.pi
+    com_cos_t = rng.random(n) * 2.0 - 1.0
+    com_sin_t = np.sqrt(np.maximum(1.0 - com_cos_t**2, 0.0))
+    p_comv = np.stack(
+        [
+            e_hat,
+            e_hat * com_sin_t * np.cos(com_phi),
+            e_hat * com_sin_t * np.sin(com_phi),
+            e_hat * com_cos_t,
+        ],
+        axis=-1,
+    )
+
+    # fluid velocity in MCRaT Cartesian at the cell (az = position phi in 2-D)
+    if cfg.dims is Dims.THREE:
+        pos_phi = np.zeros(n)
+        x2 = host.r2[cell_idx]
+    else:
+        pos_phi = rng.random(n) * 2.0 * np.pi
+        x2 = pos_phi
+    v2 = host.v2[cell_idx] if cfg.dims is not Dims.TWO else np.zeros(n)
+    bx, by, bz = geo.hydro_vector_to_cartesian(
+        cfg, host.v0[cell_idx], host.v1[cell_idx], v2,
+        host.r0[cell_idx], host.r1[cell_idx], x2,
+    )
+    beta = -np.stack([np.asarray(bx), np.asarray(by), np.asarray(bz)], axis=-1)
+    # comoving -> lab boost (boost velocity = -v_fluid; reference: mclib.c:245-250)
+    p_lab = np.asarray(lorentz_boost(jnp.asarray(beta), jnp.asarray(p_comv)))
+
+    # uniform position inside the cell (reference: mclib.c:263-270)
+    u0 = (rng.random(n) - 0.5) * host.dr0[cell_idx]
+    u1 = (rng.random(n) - 0.5) * host.dr1[cell_idx]
+    if cfg.dims is Dims.THREE:
+        u2 = (rng.random(n) - 0.5) * host.dr2[cell_idx]
+        px, py, pz = geo.hydro_to_mcrat(
+            cfg, host.r0[cell_idx] + u0, host.r1[cell_idx] + u1, host.r2[cell_idx] + u2
+        )
+    else:
+        px, py, pz = geo.hydro_to_mcrat(
+            cfg, host.r0[cell_idx] + u0, host.r1[cell_idx] + u1, pos_phi
+        )
+    pos = np.stack([np.asarray(px), np.asarray(py), np.asarray(pz)], axis=-1)
+
+    s = np.zeros((n, 4))
+    s[:, 0] = 1.0
+    return (
+        dict(
+            p=p_lab,
+            comv_p=p_comv,
+            pos=pos,
+            s=s,
+            weight=np.full(n, w),
+            num_scatt=np.zeros(n),
+            cell=cell_idx.astype(np.int32),
+            ptype=np.full(n, int(PhotonType.INJECTED), np.int32),
+        ),
+        w,
+    )
+
+
+def photons_from_arrays(arrays: dict, capacity: Optional[int], dtype, weight_norm=None):
+    """Pack host photon arrays into a fixed-capacity device Photons + meta."""
+    n = len(arrays["weight"])
+    cap = capacity or n
+    assert cap >= n
+    if weight_norm is None:
+        weight_norm = float(np.median(arrays["weight"])) or 1.0
+    ph = empty_photons(cap, dtype)
+
+    def fill(buf, val, fillval=0):
+        out = np.full(buf.shape, fillval, dtype=np.asarray(val).dtype)
+        out[:n] = val
+        return jnp.asarray(out, dtype=buf.dtype)
+
+    ph = ph.replace(
+        p=fill(ph.p, arrays["p"]),
+        comv_p=fill(ph.comv_p, arrays["comv_p"]),
+        pos=fill(ph.pos, arrays["pos"]),
+        s=fill(ph.s, arrays["s"]),
+        weight=fill(ph.weight, arrays["weight"] / weight_norm),
+        num_scatt=fill(ph.num_scatt, arrays["num_scatt"]),
+        cell=fill(ph.cell, arrays["cell"], -1),
+        ptype=fill(ph.ptype, arrays["ptype"], int(PhotonType.NULL)),
+    )
+    return ph, PhotonsMeta(weight_norm=weight_norm, n_injected=n)
+
+
+# ---------------------------------------------------------------------------
+# Transport (device, jitted)
+# ---------------------------------------------------------------------------
+
+
+class FrameResult(NamedTuple):
+    photons: Photons
+    n_scatt: jax.Array  # total scattering events this frame (weightless count)
+    n_rounds: jax.Array  # while-loop trips taken
+
+
+class ChunkResult(NamedTuple):
+    photons: Photons
+    t_rem: jax.Array  # (N,) frame time left per photon
+    n_scatt: jax.Array
+    n_rounds: jax.Array
+    all_done: jax.Array  # scalar bool: no active photons remain this frame
+
+
+def _tau_rate(cfg: Config, frame: HydroFrame, photons: Photons, cell, xsec_table=None):
+    """Per-photon optical depth per unit length [1/cm].
+
+    Vectorized calculateOpticalDepth, thermal path (reference:
+    Src/optical_depth.c:7-59):
+        rate = (dens_lab/m_p) sigma_T sigma_hat (1 - beta cos_angle)
+    with cos_angle between the fluid velocity and the photon's lab momentum.
+    DIRECT mode uses sigma_hat = 1 (Thomson); TABLE mode interpolates the hot
+    cross section (ops.hot_xsec).
+    """
+    safe = jnp.clip(cell, 0, frame.num_elements - 1)
+    fluid_beta = frame.fluid_beta_at(cfg, safe, photons.pos[:, 0], photons.pos[:, 1])
+    fl_norm = jnp.sqrt(jnp.sum(fluid_beta**2, axis=-1))
+    pv = photons.p[:, 1:]
+    ph_norm = jnp.sqrt(jnp.sum(pv * pv, axis=-1))
+    denom = jnp.maximum(fl_norm * ph_norm, jnp.finfo(pv.dtype).tiny)
+    cos_ang = jnp.sum(fluid_beta * pv, axis=-1) / denom
+    gam = frame.gamma[safe]
+    beta = jnp.sqrt(jnp.maximum(1.0 - 1.0 / (gam * gam), 0.0))
+    n_e_lab = frame.dens_lab[safe] / M_P
+    if cfg.tau_calculation is TauCalculation.TABLE and xsec_table is not None:
+        from .ops import hot_xsec
+
+        sigma_hat = hot_xsec.interp_thermal(
+            xsec_table, photons.comv_p[:, 0], frame.temp[safe]
+        )
+    else:
+        sigma_hat = 1.0
+    return n_e_lab * THOM_X_SECT * sigma_hat * (1.0 - beta * cos_ang), fluid_beta
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "stokes_on", "max_rounds"))
+def transport_rounds(
+    cfg: Config,
+    photons: Photons,
+    frame: HydroFrame,
+    index,
+    t_rem,
+    key,
+    xsec_table=None,
+    stokes_on: bool = True,
+    max_rounds: int = 0,
+) -> "ChunkResult":
+    """Advance the population by up to ``max_rounds`` scatter rounds.
+
+    Batched equivalent of the reference per-frame hot loop
+    (Src/mcrat.c:761-846: findContainingHydroCell + calcMeanFreePath +
+    photonEvent until the next frame boundary).  ``t_rem`` is the per-photon
+    time left in the frame window; the loop exits when every photon's window is
+    exhausted or after ``max_rounds`` trips (0 = unbounded up to the config
+    safety cap), so callers can chunk very optically-thick frames into several
+    device executions (progress logging, checkpoint cadence, and RPC execution
+    limits all want bounded kernels).
+    """
+    dtype = photons.p.dtype
+    cap = photons.capacity
+    round_cap = max_rounds if max_rounds > 0 else cfg.max_rounds_per_frame
+
+    def cond(carry):
+        ph, t_rem, key, n_scatt, rounds = carry
+        active = ph.alive & (t_rem > 0) & (ph.ptype != PhotonType.CS_POOL)
+        return jnp.any(active) & (rounds < round_cap)
+
+    def body(carry):
+        ph, t_rem, key, n_scatt, rounds = carry
+        key, k_mfp, k_el, k_sc = jax.random.split(key, 4)
+        active = ph.alive & (t_rem > 0) & (ph.ptype != PhotonType.CS_POOL)
+
+        # 1. containing cell (cached fast path + index search)
+        cell, _ = find_cell(cfg, index, frame, ph.pos, ph.cell)
+        in_grid = cell >= 0
+
+        # 2. comoving four-momentum for the current cell
+        rate, fluid_beta = _tau_rate(cfg, frame, ph, cell, xsec_table)
+        comv_p = lorentz_boost(fluid_beta, ph.p, photon=True)
+        ph = ph.replace(
+            comv_p=jnp.where((active & in_grid)[:, None], comv_p, ph.comv_p),
+            cell=jnp.where(active, cell, ph.cell),
+        )
+
+        # 3. exponential free path -> candidate time step
+        u = jax.random.uniform(k_mfp, (cap,), dtype=dtype)
+        u = jnp.maximum(u, jnp.finfo(dtype).tiny)
+        mfp = jnp.where(
+            in_grid & (rate > 0), -jnp.log(u) / jnp.maximum(rate, jnp.finfo(dtype).tiny), DEFAULT_MFP
+        )
+        dt_scatt = mfp / C_LIGHT
+        will_scatter = active & in_grid & (dt_scatt < t_rem)
+        dt = jnp.where(will_scatter, dt_scatt, t_rem)
+        dt = jnp.where(active, dt, 0.0)
+
+        # 4. advance along the lab direction at c (reference: mclib.c:1054-1100)
+        inv_p0 = 1.0 / jnp.maximum(ph.p[:, 0], jnp.finfo(dtype).tiny)
+        step = (ph.p[:, 1:] * inv_p0[:, None]) * (C_LIGHT * dt)[:, None]
+        ph = ph.replace(pos=jnp.where(active[:, None], ph.pos + step, ph.pos))
+        t_rem = t_rem - dt
+
+        # 5. attempt the scattering for candidates (null collision on reject)
+        safe = jnp.clip(ph.cell, 0, frame.num_elements - 1)
+        temp = frame.temp[safe]
+        if stokes_on:
+            s_comv = stokes_rotation(fluid_beta, ph.p[:, 1:], ph.comv_p[:, 1:], ph.s)
+        else:
+            s_comv = ph.s
+        el_p = electrons.sample_thermal_electron(k_el, temp, ph.comv_p)
+        res = compton.single_scatter(k_sc, el_p, ph.comv_p, s_comv, stokes_on=stokes_on)
+        scattered = will_scatter & res.scattered
+        new_lab = lorentz_boost(-fluid_beta, res.ph_p, photon=True)
+        if stokes_on:
+            s_lab = stokes_rotation(-fluid_beta, res.ph_p[:, 1:], new_lab[:, 1:], res.s)
+        else:
+            s_lab = res.s
+        mask = scattered[:, None]
+        ph = ph.replace(
+            p=jnp.where(mask, new_lab, ph.p),
+            comv_p=jnp.where(mask, res.ph_p, ph.comv_p),
+            s=jnp.where(mask, s_lab, ph.s),
+            num_scatt=ph.num_scatt + scattered.astype(dtype),
+        )
+        n_scatt = n_scatt + jnp.sum(scattered)
+        return ph, t_rem, key, n_scatt, rounds + 1
+
+    ph, t_rem, _, n_scatt, rounds = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            photons,
+            jnp.asarray(t_rem, dtype),
+            key,
+            jnp.zeros((), jnp.int64 if dtype == jnp.float64 else jnp.int32),
+            jnp.zeros((), jnp.int32),
+        ),
+    )
+    active = ph.alive & (t_rem > 0) & (ph.ptype != PhotonType.CS_POOL)
+    return ChunkResult(
+        photons=ph, t_rem=t_rem, n_scatt=n_scatt, n_rounds=rounds,
+        all_done=~jnp.any(active),
+    )
+
+
+def frame_time(photons: Photons, dt_max) -> jax.Array:
+    """Initial per-photon frame time window."""
+    dtype = photons.p.dtype
+    return jnp.where(photons.alive, jnp.asarray(dt_max, dtype), 0.0)
+
+
+def _gather_photons(photons: Photons, idx) -> Photons:
+    return jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), photons)
+
+
+def _scatter_photons(dst: Photons, idx, src: Photons, n_valid: int) -> Photons:
+    """Write the first ``n_valid`` lanes of ``src`` back into ``dst`` at ``idx``."""
+    return jax.tree_util.tree_map(
+        lambda d, s: d.at[idx].set(s[:n_valid]), dst, src
+    )
+
+
+def transport_frame(
+    cfg: Config,
+    photons: Photons,
+    frame: HydroFrame,
+    index,
+    dt_max,
+    key,
+    xsec_table=None,
+    stokes_on: bool = True,
+    chunk_rounds: int = 0,
+    progress=None,
+    compact: bool = True,
+    min_compact_capacity: int = 1024,
+) -> FrameResult:
+    """Advance the whole population through one hydro-frame time window.
+
+    Host-level wrapper over :func:`transport_rounds`: when ``chunk_rounds`` > 0
+    the frame is executed in bounded-round device chunks with an optional
+    ``progress(n_scatt_total, rounds_total)`` callback between chunks (the
+    analogue of the reference's log-every-1000-scatterings cadence,
+    Src/mcrat.c:810-817).
+
+    With ``compact`` on, the working set shrinks between chunks: once fewer
+    than a quarter of lanes are still active, the active photons are gathered
+    into a half/quarter-size buffer and transport continues there.  A round's
+    device cost is proportional to the *buffer* size, not the active count, so
+    without compaction the "runaway photon" tail — one deep photon scattering
+    1e4+ times (the effect the reference fights manually with mcrat_msp.sh) —
+    dominates frame wall time.  Buffer capacities stay a geometric sequence so
+    only O(log N) distinct shapes ever compile.
+    """
+    t_rem = frame_time(photons, dt_max)
+    n_scatt_total = 0
+    rounds_total = 0
+    # working-set state: photons/t_rem of the current buffer + original slots
+    work_ph, work_t = photons, t_rem
+    slots = None  # None => working set is the full population
+    result_ph = photons
+
+    while True:
+        key, sub = jax.random.split(key)
+        res = transport_rounds(
+            cfg, work_ph, frame, index, work_t, sub,
+            xsec_table=xsec_table, stokes_on=stokes_on, max_rounds=chunk_rounds,
+        )
+        work_ph, work_t = res.photons, res.t_rem
+        n_scatt_total += int(res.n_scatt)
+        rounds_total += int(res.n_rounds)
+        if progress is not None:
+            progress(n_scatt_total, rounds_total)
+        done = bool(res.all_done)
+        if done or chunk_rounds == 0 or rounds_total >= cfg.max_rounds_per_frame:
+            break
+        if compact and work_ph.capacity > min_compact_capacity:
+            active = np.asarray(
+                work_ph.alive & (work_t > 0) & (work_ph.ptype != PhotonType.CS_POOL)
+            )
+            n_active = int(active.sum())
+            if n_active < work_ph.capacity // 4:
+                # write current working set back, then shrink
+                if slots is None:
+                    result_ph = work_ph
+                    slots = np.arange(work_ph.capacity)
+                else:
+                    result_ph = _scatter_photons(
+                        result_ph, jnp.asarray(slots), work_ph, len(slots)
+                    )
+                new_cap = max(min_compact_capacity, 1 << int(np.ceil(np.log2(max(n_active, 1)))))
+                act_idx = np.flatnonzero(active)
+                slots = slots[act_idx]
+                gather_idx = np.full(new_cap, act_idx[0] if len(act_idx) else 0, dtype=np.int64)
+                gather_idx[: len(act_idx)] = act_idx
+                t_gather = jnp.take(work_t, jnp.asarray(gather_idx))
+                t_gather = t_gather.at[len(act_idx):].set(0.0)
+                sub_ph = _gather_photons(work_ph, jnp.asarray(gather_idx))
+                # dead-pad the duplicate lanes so they cannot transport twice
+                pad_mask = jnp.arange(new_cap) >= len(act_idx)
+                sub_ph = sub_ph.replace(
+                    weight=jnp.where(pad_mask, 0.0, sub_ph.weight),
+                    ptype=jnp.where(pad_mask, int(PhotonType.NULL), sub_ph.ptype),
+                )
+                work_ph, work_t = sub_ph, t_gather
+
+    # final write-back
+    if slots is None:
+        result_ph = work_ph
+    else:
+        result_ph = _scatter_photons(result_ph, jnp.asarray(slots), work_ph, len(slots))
+    return FrameResult(
+        photons=result_ph,
+        n_scatt=jnp.asarray(n_scatt_total),
+        n_rounds=jnp.asarray(rounds_total),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistics (reference: Src/mclib.c:1358-1515)
+# ---------------------------------------------------------------------------
+
+
+def average_photon_energy(photons: Photons):
+    """Weighted mean lab energy [erg] (reference: averagePhotonEnergy, mclib.c:1358).
+
+    Photon p0 is dimensionless (units m_e c^2 after multiplying by m_e c^2).
+    """
+    from .constants import ME_C2
+
+    w = jnp.where(photons.alive, photons.weight, 0.0)
+    e = jnp.sum(photons.p[:, 0] * w) / jnp.maximum(jnp.sum(w), jnp.finfo(w.dtype).tiny)
+    return e * ME_C2
+
+
+def scatt_stats(photons: Photons):
+    """(max, min, mean) scatterings and mean radius over live photons
+    (reference: phScattStats, Src/mclib.c:1385-1462)."""
+    alive = photons.alive
+    ns = photons.num_scatt
+    big = jnp.asarray(jnp.inf, ns.dtype)
+    mx = jnp.max(jnp.where(alive, ns, -big))
+    mn = jnp.min(jnp.where(alive, ns, big))
+    cnt = jnp.maximum(jnp.sum(alive), 1)
+    mean = jnp.sum(jnp.where(alive, ns, 0.0)) / cnt
+    r = jnp.sqrt(jnp.sum(photons.pos**2, axis=-1))
+    r_mean = jnp.sum(jnp.where(alive, r, 0.0)) / cnt
+    return mx, mn, mean, r_mean
+
+
+def ph_min_max(photons: Photons):
+    """(r_min, r_max, theta_min, theta_max) over live photons for hydro
+    decimation (reference: phMinMax, Src/mclib.c:1465-1515)."""
+    alive = photons.alive
+    r = jnp.sqrt(jnp.sum(photons.pos**2, axis=-1))
+    theta = jnp.arccos(
+        jnp.clip(photons.pos[:, 2] / jnp.maximum(r, jnp.finfo(r.dtype).tiny), -1.0, 1.0)
+    )
+    big = jnp.asarray(jnp.inf, r.dtype)
+    return (
+        jnp.min(jnp.where(alive, r, big)),
+        jnp.max(jnp.where(alive, r, -big)),
+        jnp.min(jnp.where(alive, theta, big)),
+        jnp.max(jnp.where(alive, theta, -big)),
+    )
