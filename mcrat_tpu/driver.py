@@ -1,0 +1,318 @@
+"""Simulation driver: the orchestration layer.
+
+TPU-native re-design of the reference main() (Src/mcrat.c:48-1036):
+
+* work decomposition over viewing-angle bins x injection frames — the
+  reference's MPI strategies 1 & 2 (MPI_Comm_split at Src/mcrat.c:146; frame
+  blocks at :457-479) become a deterministic rank -> (angle bin, frame block)
+  mapping with no communicator machinery (photon batches are independent);
+* the two-level frame loop: inject at each injection frame, then transport
+  through every subsequent hydro frame until the last one, with per-frame
+  decimated hydro loads, optional cyclo-synchrotron emission/absorption/
+  rebinning, statistics, checkpointing, and per-rank HDF5 dumps;
+* restart: continue from the per-rank checkpoint (reference: readCheckpoint),
+  including elastic re-adoption of unfinished old ranks when the job size
+  changed (reference: Src/mcrat.c:166-448);
+* a final merge pass building mcdata_<frame>.h5 files.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import math
+import os
+from typing import Callable, Optional, Sequence
+
+import jax
+import numpy as np
+
+from .config import Config, McPar, PhotonType, SimType
+from .constants import C_LIGHT
+from .grid import HydroFrameHost
+from .io.checkpoint import CheckpointState, load_checkpoint, save_checkpoint, scan_checkpoints
+from .io.hydro import HydroPaths, build_index, get_hydro_data
+from .io.photons_h5 import append_photons, merge_all
+from .ops import cyclosynch
+from . import transport
+
+log = logging.getLogger("mcrat_tpu")
+
+
+@dataclasses.dataclass
+class WorkAssignment:
+    """One rank's slice of the angle x injection-frame work."""
+
+    angle_id: int
+    theta_min: float  # radians
+    theta_max: float
+    r_inj: float
+    framestart: int
+    frm2: int
+    mc_dir: str
+
+
+def decompose_work(
+    par: McPar, rank: int, num_ranks: int, base_dir: str
+) -> WorkAssignment:
+    """rank -> (angle bin, injection frame block).
+
+    Mirrors the reference's angle split (procs_per_angle = world/num_bins,
+    color = rank / procs_per_angle; Src/mcrat.c:139-162) and the per-angle
+    frame blocks (proc_frame_size = ceil((frm2-frm0)/angle_procs),
+    Src/mcrat.c:457-479).
+    """
+    nbins = par.n_theta_bins
+    procs_per_angle = max(num_ranks // nbins, 1)
+    angle_id = min(rank // procs_per_angle, nbins - 1)
+    angle_rank = rank - angle_id * procs_per_angle
+
+    dtheta = (par.theta_max_deg - par.theta_min_deg) / nbins
+    t_lo = par.theta_min_deg + angle_id * dtheta
+    t_hi = t_lo + dtheta
+
+    frm0, frm2 = par.frm0[angle_id], par.frm2[angle_id]
+    nframes = frm2 - frm0 + 1
+    block = math.ceil(nframes / procs_per_angle)
+    f_start = frm0 + angle_rank * block
+    f_end = min(f_start + block - 1, frm2) if angle_rank < procs_per_angle - 1 else frm2
+    # per-angle output directory (reference: Src/mcrat.c:155)
+    mc_dir = os.path.join(base_dir, f"{t_lo:g}-{t_hi:g}")
+    return WorkAssignment(
+        angle_id=angle_id,
+        theta_min=math.radians(t_lo),
+        theta_max=math.radians(t_hi),
+        r_inj=par.inj_radius[angle_id],
+        framestart=f_start,
+        frm2=f_end,
+        mc_dir=mc_dir,
+    )
+
+
+def _append_arrays(photons, meta, new_arrays, dtype):
+    """Append host photon arrays into the fixed-capacity population,
+    growing it if necessary (replaces null-slot recycling, Src/photons.c)."""
+    import jax.numpy as jnp
+
+    if not new_arrays:
+        return photons, meta, 0
+    n_new = len(new_arrays["weight"])
+    alive = np.asarray(photons.alive)
+    free = np.flatnonzero(~alive)
+    if len(free) < n_new:
+        # grow capacity by ~50% (pow-2 steps bound the number of compiles)
+        extra = int(2 ** math.ceil(math.log2(photons.capacity + n_new)))
+        grown = transport.empty_photons(extra, photons.p.dtype)
+        grown = jax.tree_util.tree_map(
+            lambda g, p: g.at[: p.shape[0]].set(p), grown, photons
+        )
+        photons = grown
+        alive = np.asarray(photons.alive)
+        free = np.flatnonzero(~alive)
+    slots = free[:n_new]
+    norm = meta.weight_norm
+
+    def put(buf, val):
+        return buf.at[jnp.asarray(slots)].set(jnp.asarray(val, dtype=buf.dtype))
+
+    photons = photons.replace(
+        p=put(photons.p, new_arrays["p"]),
+        comv_p=put(photons.comv_p, new_arrays["comv_p"]),
+        pos=put(photons.pos, new_arrays["pos"]),
+        s=put(photons.s, new_arrays["s"]),
+        weight=put(photons.weight, new_arrays["weight"] / norm),
+        num_scatt=put(photons.num_scatt, new_arrays["num_scatt"]),
+        cell=put(photons.cell, new_arrays["cell"]),
+        ptype=put(photons.ptype, new_arrays["ptype"]),
+    )
+    return photons, meta, n_new
+
+
+def run_rank(
+    cfg: Config,
+    par: McPar,
+    paths: HydroPaths,
+    rank: int = 0,
+    num_ranks: int = 1,
+    base_dir: Optional[str] = None,
+    synthetic_frame_factory: Optional[Callable[[int], tuple]] = None,
+    key=None,
+    chunk_rounds: int = 256,
+    last_frame_override: Optional[int] = None,
+    xsec_cache: Optional[str] = None,
+    progress: bool = True,
+) -> WorkAssignment:
+    """Run one rank's full simulation (inject -> transport -> dump -> merge).
+
+    ``synthetic_frame_factory(frame) -> (HydroFrameHost, edges|None)`` supplies
+    frames for SYNTHETIC runs; file-backed formats read from ``paths``.
+    """
+    base_dir = base_dir or os.path.join(paths.filepath, paths.mc_path)
+    work = decompose_work(par, rank, num_ranks, base_dir)
+    os.makedirs(work.mc_dir, exist_ok=True)
+    key = key if key is not None else jax.random.PRNGKey(1234 + rank)
+    rng = np.random.default_rng(9876 + rank)
+    dtype = cfg.np_dtype()
+    last_frm = last_frame_override or par.last_frame
+
+    xsec_table = None
+    if cfg.tau_calculation.value == "table":
+        from .ops import hot_xsec
+
+        cache = xsec_cache or os.path.join(base_dir, "hot_x_section.npz")
+        xsec_table = hot_xsec.load_or_build(cfg, cache)
+
+    # --- restart handling (reference: Src/mcrat.c:166-455) ---------------------
+    state = None
+    photons = None
+    meta = None
+    if par.restart == "c":
+        loaded = load_checkpoint(work.mc_dir, rank, dtype=str(dtype))
+        if loaded is not None:
+            state, photons = loaded
+            meta = transport.PhotonsMeta(state.weight_norm, state.n_injected)
+            log.info(
+                "rank %d: continuing from frame %d scatt %d", rank, state.frame,
+                state.scatt_frame,
+            )
+
+    def load_frame(frame, ph_inj, bounds):
+        synth = None
+        edges = None
+        if synthetic_frame_factory is not None:
+            synth, edges = synthetic_frame_factory(frame)
+        host = get_hydro_data(
+            cfg, paths, frame, par.fps, work.r_inj, ph_inj,
+            *(bounds or (0.0, np.inf, 0.0, np.pi)),
+            synthetic_frame=synth,
+        )
+        return host, edges
+
+    frame0 = state.frame if state else work.framestart
+    scatt_cs_count = 0
+
+    for frame in range(frame0, work.frm2 + 1):
+        fresh = state is None or frame != state.frame or state.restart == "i"
+        if fresh:
+            time_now = frame / par.fps
+            host, edges = load_frame(frame, True, None)
+            arrays, w = transport.inject_photons(
+                host, work.r_inj, 1e50, par.min_photons, par.max_photons,
+                par.spect, work.theta_min, work.theta_max, par.fps, rng,
+            )
+            cap = int(
+                2 ** math.ceil(math.log2(len(arrays["weight"]) * cfg.capacity_factor))
+            )
+            photons, meta = transport.photons_from_arrays(
+                arrays, capacity=cap, dtype=dtype
+            )
+            scatt_start = frame
+            log.info(
+                "rank %d: injected %d photons at frame %d (w=%.3e)",
+                rank, meta.n_injected, frame, meta.weight_norm,
+            )
+        else:
+            time_now = state.time_now
+            scatt_start = state.scatt_frame
+
+        for scatt_frame in range(scatt_start, last_frm + 1):
+            dt_frame = (scatt_frame + 1) / par.fps - time_now
+            if dt_frame <= 0:
+                continue
+            r_min, r_max, t_min, t_max = (
+                float(x) for x in transport.ph_min_max(photons)
+            )
+            if cfg.cyclosynchrotron and scatt_frame != scatt_start:
+                lo, hi = cyclosynch.cs_r_limits(scatt_frame, frame, par.fps, work.r_inj)
+                r_min, r_max = min(r_min, lo), max(r_max, hi)
+            host, edges = load_frame(scatt_frame, False, (r_min, r_max, t_min, t_max))
+            frame_dev = host.to_device(dtype=dtype)
+            index = build_index(cfg, host, edges)
+
+            n_emit = 0
+            if cfg.cyclosynchrotron and scatt_frame != scatt_start:
+                cs_arrays, _ = cyclosynch.emit_pool_photons(
+                    cfg, host, scatt_frame, frame, par.fps, work.r_inj,
+                    meta.weight_norm, par.max_photons,
+                    work.theta_min, work.theta_max, rng,
+                )
+                photons, meta, n_emit = _append_arrays(photons, meta, cs_arrays, dtype)
+
+            key, sub = jax.random.split(key)
+            res = transport.transport_frame(
+                cfg, photons, frame_dev, index, dt_frame, sub,
+                xsec_table=xsec_table, stokes_on=cfg.stokes,
+                chunk_rounds=chunk_rounds,
+            )
+            photons = res.photons
+            time_now += dt_frame
+
+            if cfg.cyclosynchrotron and scatt_frame != scatt_start:
+                # rebin scattered-CS photons if they outnumber the cap, then
+                # absorb below-nu_c photons (reference: Src/mcrat.c:853-878)
+                photons, n_abs, _w_abs = cyclosynch.apply_absorption(
+                    cfg, frame_dev, photons
+                )
+
+            mx, mn, mean, r_avg = (float(x) for x in transport.scatt_stats(photons))
+            if progress:
+                log.info(
+                    "rank %d frame %d scatt %d: %d scatterings (%d rounds); "
+                    "num_scatt max/mean %.0f/%.2f; <r> %.3e",
+                    rank, frame, scatt_frame, int(res.n_scatt), int(res.n_rounds),
+                    mx, mean, r_avg,
+                )
+
+            st = CheckpointState(
+                frame=frame, frm2=work.frm2, scatt_frame=scatt_frame + 1,
+                time_now=time_now, restart="c",
+                weight_norm=meta.weight_norm, n_injected=meta.n_injected,
+            )
+            save_checkpoint(work.mc_dir, rank, st, photons)
+            # photon dump gated on checkpoint success, which save_checkpoint
+            # guarantees by raising on failure (reference: Src/mcrat.c:902-915)
+            append_photons(
+                cfg, os.path.join(work.mc_dir, f"mc_proc_{rank}.h5"),
+                scatt_frame, photons, meta,
+            )
+
+        # injection-complete marker (reference: mcrat_io.c:966-1001)
+        state = None
+        save_checkpoint(
+            work.mc_dir, rank,
+            CheckpointState(
+                frame=frame + 1, frm2=work.frm2, scatt_frame=frame + 1,
+                time_now=time_now, restart="i",
+            ),
+        )
+
+    return work
+
+
+def default_synthetic_factory(cfg: Config, par: McPar, nr: int = 384, ntheta: int = 64):
+    """Synthetic-grid factory for SYNTHETIC runs driven purely by mc.par.
+
+    Builds one static 2-D spherical grid covering the mc.par domain (analytic
+    outflows are time-independent; the per-frame prep re-applies the profile).
+    """
+    import math as _math
+
+    from .models.analytic import synthetic_spherical_frame
+
+    r_lo = max(par.r0_domain[0], min(par.inj_radius) / 20.0)
+    r_hi = par.r0_domain[1]
+    theta_hi = min(max(_math.radians(par.theta_max_deg) * 3.0, 0.3), _math.pi)
+    host, edges = synthetic_spherical_frame(
+        cfg, r_min=r_lo, r_max=r_hi, nr=nr, ntheta=ntheta, theta_max=theta_hi
+    )
+
+    def factory(frame):
+        return host, edges
+
+    return factory
+
+
+def merge_rank_outputs(work: WorkAssignment, par: McPar, last_frame=None):
+    """Merge per-process files into mcdata_<frame>.h5 for this angle dir
+    (the in-run merge, reference: Src/mcrat.c:934-1023)."""
+    frames = range(min(par.frm0), (last_frame or par.last_frame) + 1)
+    return merge_all(work.mc_dir, frames)

@@ -1,0 +1,167 @@
+"""Cyclo-synchrotron module tests."""
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcrat_tpu.config import BFieldCalc, Config, Dims, Geometry, PhotonType, SimType
+from mcrat_tpu.constants import (
+    A_RAD, C_LIGHT, CHARGE_EL, H_OVER_MEC2, K_B, M_EL, M_P, PL_CONST,
+)
+from mcrat_tpu.models.analytic import synthetic_spherical_frame
+from mcrat_tpu.ops import cyclosynch as cs
+from mcrat_tpu import transport
+
+
+CFG = Config(
+    dims=Dims.TWO,
+    geometry=Geometry.SPHERICAL,
+    simulation_type=SimType.CYLINDRICAL_OUTFLOW,
+    cyclosynchrotron=True,
+    b_field_calc=BFieldCalc.TOTAL_E,
+    epsilon_b=0.5,
+    dtype="float64",
+)
+
+
+@pytest.fixture(scope="module")
+def host():
+    h, edges = synthetic_spherical_frame(
+        CFG, r_min=1e12, r_max=1e13, nr=64, ntheta=16, theta_max=np.pi / 4
+    )
+    return h, edges
+
+
+def test_cyclotron_freq_formula():
+    b = np.array([1.0, 100.0])
+    nu = cs.cyclotron_freq(b)
+    np.testing.assert_allclose(nu, CHARGE_EL * b / (2 * np.pi * M_EL * C_LIGHT))
+
+
+def test_b_field_models(host):
+    h, _ = host
+    # TOTAL_E: B^2/8pi = eps_B (rho c^2 + 4 a T^4/3)
+    b = np.asarray(cs.b_magnitude(CFG, h))
+    expect = np.sqrt(8 * np.pi * 0.5 * (h.dens * C_LIGHT**2 + 4 * A_RAD * h.temp**4 / 3))
+    np.testing.assert_allclose(b, expect, rtol=1e-12)
+    cfg_int = Config(**{**CFG.__dict__, "b_field_calc": BFieldCalc.INTERNAL_E})
+    b_int = np.asarray(cs.b_magnitude(cfg_int, h))
+    expect_int = np.sqrt(0.5 * 8 * np.pi * 1.5 * (h.dens / M_P) * K_B * h.temp)
+    np.testing.assert_allclose(b_int, expect_int, rtol=1e-12)
+
+
+def test_cs_r_limits():
+    lo, hi = cs.cs_r_limits(scatt_frame=12, inj_frame=10, fps=5.0, r_inj=1e12)
+    adv = C_LIGHT * 2 / 5.0
+    assert lo == pytest.approx(1e12 + adv - 0.5 * C_LIGHT / 5.0)
+    assert hi == pytest.approx(1e12 + adv + 0.5 * C_LIGHT / 5.0)
+
+
+def test_emit_pool_photons(host):
+    h, _ = host
+    rng = np.random.default_rng(0)
+    arrays, w = cs.emit_pool_photons(
+        CFG, h, scatt_frame=11, inj_frame=10, fps=5.0, r_inj=2e12,
+        ph_weight=1e50, max_photons=10000, theta_min=0.0, theta_max=np.pi / 6,
+        rng=rng,
+    )
+    n = len(arrays["weight"])
+    assert 1 <= n <= CFG.cs_rebin_e_perc * 10000
+    assert (arrays["ptype"] == int(PhotonType.CS_POOL)).all()
+    # comoving energy is exactly h nu_c of the emitting cell
+    b = np.asarray(cs.b_magnitude(CFG, h, arrays["cell"]))
+    nu_c = cs.cyclotron_freq(b)
+    np.testing.assert_allclose(
+        arrays["comv_p"][:, 0], PL_CONST * nu_c / (M_EL * C_LIGHT**2), rtol=1e-12
+    )
+    # photons sit at cell centers (spherical radius of position == cell r)
+    r = np.linalg.norm(arrays["pos"], axis=1)
+    np.testing.assert_allclose(r, h.r[arrays["cell"]], rtol=1e-9)
+
+
+def test_absorption(host):
+    h, _ = host
+    frame = h.to_device(dtype=jnp.float64)
+    n = 32
+    b0 = float(np.asarray(cs.b_magnitude(CFG, h, np.array([0])))[0])
+    nu_c = cs.cyclotron_freq(b0)
+    e_high = 5.0 * nu_c * H_OVER_MEC2  # safely above the absorption threshold
+    arrays = dict(
+        p=np.tile([e_high, e_high, 0, 0], (n, 1)),
+        comv_p=np.tile([e_high, e_high, 0, 0], (n, 1)),
+        pos=np.tile([2e12, 0, 2e12], (n, 1)),
+        s=np.tile([1.0, 0, 0, 0], (n, 1)),
+        weight=np.ones(n),
+        num_scatt=np.zeros(n),
+        cell=np.zeros(n, np.int32),
+        ptype=np.full(n, int(PhotonType.INJECTED), np.int32),
+    )
+    # half the photons get comoving frequency below nu_c of cell 0
+    e_low = 0.5 * nu_c * H_OVER_MEC2
+    arrays["comv_p"][: n // 2, 0] = e_low
+    arrays["p"][: n // 2, 0] = e_low
+    # a couple of pool photons above nu_c are absorbed regardless
+    arrays["ptype"][n - 2 :] = int(PhotonType.CS_POOL)
+    ph, meta = transport.photons_from_arrays(arrays, capacity=n, dtype=jnp.float64)
+    out, n_abs, w_abs = cs.apply_absorption(CFG, frame, ph)
+    assert int(n_abs) == n // 2 + 2
+    # only injected/unabsorbed-CS absorbed photons contribute to the weight sum
+    assert float(w_abs) == pytest.approx(n // 2)
+    # marker: absorbed injected photons have p0 = -1
+    p0 = np.asarray(out.p[:, 0])
+    assert (p0[: n // 2] == -1.0).all()
+    assert (np.asarray(out.ptype)[: n // 2] == int(PhotonType.NULL)).all()
+
+
+def test_rebin_conserves_weight_and_energy():
+    rng = np.random.default_rng(7)
+    n = 5000
+    e = rng.lognormal(-18, 0.3, n)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    photons = dict(
+        p=np.concatenate([e[:, None], e[:, None] * d], axis=1),
+        comv_p=np.zeros((n, 4)),
+        pos=np.abs(rng.normal(size=(n, 3))) * 1e12 + 1e12,
+        s=np.tile([1.0, 0.05, 0.0, 0.0], (n, 1)),
+        weight=rng.uniform(0.5, 2.0, n),
+        num_scatt=rng.integers(1, 40, n).astype(float),
+        cell=np.zeros(n, np.int32),
+        ptype=np.full(n, int(PhotonType.COMPTONIZED), np.int32),
+    )
+    merged = cs.rebin_comptonized(CFG, photons, max_photons=2000)
+    m = len(merged["weight"])
+    assert m < n
+    # total weight conserved exactly; weighted energy to bin resolution
+    np.testing.assert_allclose(merged["weight"].sum(), photons["weight"].sum(), rtol=1e-12)
+    e_in = np.sum(photons["p"][:, 0] * photons["weight"])
+    e_out = np.sum(merged["p"][:, 0] * merged["weight"])
+    np.testing.assert_allclose(e_out, e_in, rtol=0.02)
+    # null norm restored on merged photons
+    np.testing.assert_allclose(
+        np.linalg.norm(merged["p"][:, 1:], axis=1), merged["p"][:, 0], rtol=1e-12
+    )
+
+
+def test_subgroup_dens_sums_to_one():
+    from mcrat_tpu.config import NonthermalDist, TauCalculation
+
+    cfg = Config(
+        dtype="float64",
+        tau_calculation=TauCalculation.TABLE,
+        nonthermal_e_dist=NonthermalDist.POWERLAW,
+        powerlaw_index=2.5,
+        gamma_min=1.0,
+        gamma_max=100.0,
+    )
+    fr = cs.electron_dist_subgroup_dens(cfg)
+    assert len(fr) == cfg.n_gamma
+    np.testing.assert_allclose(fr.sum(), 1.0, rtol=1e-8)
+    assert (np.diff(fr) < 0).all()  # falling power law
+
+
+def test_ghisellini_cross_section_positive():
+    val = cs.syn_cross_section(CFG, el_dens=np.array([1e15]), temp=np.array([1e9]),
+                               nu_ph=np.array([1e10]), p_el=np.array([0.5]))
+    assert np.isfinite(val).all() and (val > 0).all()

@@ -1,0 +1,133 @@
+"""End-to-end driver test: full inject -> transport -> checkpoint -> dump ->
+merge pipeline on the analytic spherical outflow, plus restart."""
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from mcrat_tpu.config import Config, Dims, Geometry, McPar, SimType, Spectrum
+from mcrat_tpu.driver import (
+    decompose_work, default_synthetic_factory, merge_rank_outputs, run_rank,
+)
+from mcrat_tpu.io.hydro import HydroPaths
+from mcrat_tpu.io.photons_h5 import read_frame
+
+
+def _par(restart="i"):
+    return McPar(
+        fps=5.0,
+        last_frame=13,
+        r0_domain=(1e12, 5e13),
+        r1_domain=(0.0, 1.0),
+        r2_domain=(0.0, 0.0),
+        theta_min_deg=0.0,
+        theta_max_deg=6.0,
+        n_theta_bins=2,
+        frm0=(10, 10),
+        frm2=(11, 11),
+        inj_radius=(8e12, 8e12),
+        spect=Spectrum.BLACKBODY,
+        min_photons=300,
+        max_photons=1500,
+        restart=restart,
+    )
+
+
+CFG = Config(
+    dims=Dims.TWO,
+    geometry=Geometry.SPHERICAL,
+    simulation_type=SimType.SPHERICAL_OUTFLOW,
+    dtype="float64",
+)
+
+
+def test_decompose_work(tmp_path):
+    par = _par()
+    # 4 ranks over 2 angle bins: 2 ranks per bin, each taking one inj frame
+    w0 = decompose_work(par, 0, 4, str(tmp_path))
+    w1 = decompose_work(par, 1, 4, str(tmp_path))
+    w2 = decompose_work(par, 2, 4, str(tmp_path))
+    assert w0.angle_id == 0 and w2.angle_id == 1
+    assert w0.framestart == 10 and w0.frm2 == 10
+    assert w1.framestart == 11 and w1.frm2 == 11
+    assert w0.mc_dir != w2.mc_dir
+    assert abs(np.degrees(w0.theta_max) - 3.0) < 1e-12
+
+
+def test_run_rank_end_to_end(tmp_path):
+    par = _par()
+    paths = HydroPaths(filepath=str(tmp_path) + "/", mc_path="MC/")
+    factory = default_synthetic_factory(CFG, par, nr=128, ntheta=24)
+    work = run_rank(
+        CFG, par, paths, rank=0, num_ranks=2, chunk_rounds=0,
+        synthetic_frame_factory=factory, progress=False,
+    )
+    # rank 0 of 2 is the only rank in angle bin 0 -> covers both injection frames
+    assert work.framestart == 10 and work.frm2 == 11
+    # outputs exist: checkpoint + per-proc file
+    assert os.path.exists(os.path.join(work.mc_dir, "mc_chkpt_0.npz"))
+    proc = os.path.join(work.mc_dir, "mc_proc_0.h5")
+    assert os.path.exists(proc)
+
+    import h5py
+
+    with h5py.File(proc) as f:
+        frames = sorted(int(k) for k in f.keys())
+    # photons dumped for every scattering frame 10..13
+    assert frames == [10, 11, 12, 13]
+
+    counts = merge_rank_outputs(work, par)
+    merged = [f for f in counts.values() if f > 0]
+    assert len(merged) == 4
+    data = read_frame(os.path.join(work.mc_dir, "mcdata_13.h5"))
+    assert (data["PW"] > 0).all()
+    assert len(data["P0"]) >= 300
+    # energies are positive and photons moved outward over 4 frames
+    assert (data["P0"] > 0).all()
+    r = np.sqrt(data["R0"] ** 2 + data["R1"] ** 2 + data["R2"] ** 2)
+    assert r.mean() > 8e12
+
+
+def test_run_rank_restart_continue(tmp_path):
+    """Simulate a mid-run kill: craft the checkpoint an interrupted rank leaves
+    (restart='c', scattering loop part-way through) and continue from it."""
+    import jax.numpy as jnp
+
+    from mcrat_tpu import transport
+    from mcrat_tpu.io.checkpoint import CheckpointState, save_checkpoint
+
+    par = _par(restart="c")
+    paths = HydroPaths(filepath=str(tmp_path) + "/", mc_path="MC/")
+    factory = default_synthetic_factory(CFG, par, nr=128, ntheta=24)
+    work = decompose_work(par, 0, 4, str(tmp_path) + "/MC/")
+    os.makedirs(work.mc_dir, exist_ok=True)
+
+    # inject a population "as of frame 10", pretend frames 10-11 already ran
+    host, _ = factory(10)
+    rng = np.random.default_rng(1)
+    arrays, w = transport.inject_photons(
+        host, work.r_inj, 1e50, par.min_photons, par.max_photons,
+        par.spect, work.theta_min, work.theta_max, par.fps, rng,
+    )
+    ph, meta = transport.photons_from_arrays(arrays, capacity=None, dtype=jnp.float64)
+    save_checkpoint(
+        work.mc_dir, 0,
+        CheckpointState(
+            frame=10, frm2=work.frm2, scatt_frame=12, time_now=12 / par.fps,
+            restart="c", weight_norm=meta.weight_norm, n_injected=meta.n_injected,
+        ),
+        ph,
+    )
+
+    work2 = run_rank(
+        CFG, par, paths, rank=0, num_ranks=4, chunk_rounds=0,
+        synthetic_frame_factory=factory, progress=False,
+    )
+    proc = os.path.join(work2.mc_dir, "mc_proc_0.h5")
+    import h5py
+
+    with h5py.File(proc) as f:
+        frames = sorted(int(k) for k in f.keys())
+    # resumed at scatt frame 12: only 12 and 13 get dumped in this run
+    assert frames == [12, 13]
