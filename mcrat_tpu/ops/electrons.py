@@ -304,3 +304,119 @@ def norm_broken_power_law_energy_dens(p1, p2, gamma_min, gamma_max, gamma_break)
     else:
         r = 0.0
     return r * broken_power_law_norm(p1, p2, gamma_min, gamma_max, gamma_break) * ME_C2
+
+
+def power_law_cdf(g, p, gamma_min, gamma_max):
+    """CDF of the normalized power law on [gamma_min, gamma_max]."""
+    a = power_law_norm(p, gamma_min, gamma_max)
+    if abs(p - 1.0) < 1e-10:
+        return a * jnp.log(g / gamma_min)
+    return a * (g ** (1.0 - p) - gamma_min ** (1.0 - p)) / (1.0 - p)
+
+
+def broken_power_law_cdf(g, p1, p2, gamma_min, gamma_max, gamma_break):
+    """Piecewise CDF of the normalized broken power law (continuity factor
+    gamma_break^(p2-p1) above the break; reference pdf: electron.c:374-406)."""
+    import math
+
+    a = broken_power_law_norm(p1, p2, gamma_min, gamma_max, gamma_break)
+
+    def seg(lo, hi, p):
+        if abs(p - 1.0) < 1e-10:
+            return jnp.log(hi / lo)
+        return (hi ** (1.0 - p) - lo ** (1.0 - p)) / (1.0 - p)
+
+    below = a * seg(gamma_min, jnp.minimum(g, gamma_break), p1)
+    cont = gamma_break ** (p2 - p1)
+    f_break = a * seg(gamma_min, gamma_break, p1)
+    above = a * cont * seg(gamma_break, jnp.maximum(g, gamma_break), p2)
+    return jnp.where(g <= gamma_break, below, f_break + above)
+
+
+def sample_nonthermal_gamma_range(key, g_lo, g_hi, cfg):
+    """Sample gamma from the configured nonthermal distribution restricted to
+    per-lane subgroup ranges [g_lo, g_hi].
+
+    Inverse-CDF on a remapped uniform: u' = F(g_lo) + u (F(g_hi) - F(g_lo)).
+    NB: the reference's subgroup restriction is inert — its retry loop
+    ``while (gamma < gmin && gamma > gmax)`` (Src/electron.c:102-105) can never
+    trigger, so it samples the full distribution regardless of the chosen
+    subgroup; this implementation restricts correctly.
+    """
+    from ..config import NonthermalDist
+
+    dtype = g_lo.dtype
+    u = uniform_pos(key, g_lo.shape, dtype)
+    if cfg.nonthermal_e_dist is NonthermalDist.POWERLAW:
+        f_lo = power_law_cdf(g_lo, cfg.powerlaw_index, cfg.gamma_min, cfg.gamma_max)
+        f_hi = power_law_cdf(g_hi, cfg.powerlaw_index, cfg.gamma_min, cfg.gamma_max)
+        up = f_lo + u * (f_hi - f_lo)
+        p = cfg.powerlaw_index
+        a = power_law_norm(p, cfg.gamma_min, cfg.gamma_max)
+        if abs(p - 1.0) < 1e-6:
+            return cfg.gamma_min * jnp.exp(up / a)
+        return (cfg.gamma_min ** (1.0 - p) + (1.0 - p) * up / a) ** (1.0 / (1.0 - p))
+    # broken power law: remap u then reuse the full inverse sampler formulas
+    f_lo = broken_power_law_cdf(
+        g_lo, cfg.powerlaw_index_1, cfg.powerlaw_index_2,
+        cfg.gamma_min, cfg.gamma_max, cfg.gamma_break,
+    )
+    f_hi = broken_power_law_cdf(
+        g_hi, cfg.powerlaw_index_1, cfg.powerlaw_index_2,
+        cfg.gamma_min, cfg.gamma_max, cfg.gamma_break,
+    )
+    up = f_lo + u * (f_hi - f_lo)
+    return _broken_power_law_inverse(up, cfg)
+
+
+def _broken_power_law_inverse(u, cfg):
+    """Inverse CDF of the broken power law at quantiles ``u`` (traced array)."""
+    p1, p2 = cfg.powerlaw_index_1, cfg.powerlaw_index_2
+    gmin, gmax, gbrk = cfg.gamma_min, cfg.gamma_max, cfg.gamma_break
+    a = broken_power_law_norm(p1, p2, gmin, gmax, gbrk)
+    import math
+
+    def seg_int(lo, hi, p):
+        if abs(p - 1.0) < 1e-10:
+            return math.log(hi / lo)
+        return (hi ** (1.0 - p) - lo ** (1.0 - p)) / (1.0 - p)
+
+    f_break = a * seg_int(gmin, gbrk, p1)
+    cont = gbrk ** (p2 - p1)
+    # below-break inverse
+    if abs(p1 - 1.0) < 1e-6:
+        g_lo = gmin * jnp.exp(u / a)
+    else:
+        g_lo = (gmin ** (1.0 - p1) + (1.0 - p1) * u / a) ** (1.0 / (1.0 - p1))
+    # above-break inverse
+    u2 = (u - f_break) / (a * cont)
+    if abs(p2 - 1.0) < 1e-6:
+        g_hi = gbrk * jnp.exp(u2)
+    else:
+        g_hi = (gbrk ** (1.0 - p2) + (1.0 - p2) * u2) ** (1.0 / (1.0 - p2))
+    return jnp.where(u <= f_break, g_lo, g_hi)
+
+
+def sample_nonthermal_electron(key, subgroup, ph_p, cfg):
+    """Nonthermal electron draw aligned to each photon, restricted to the
+    chosen gamma subgroup (1-based index; reference: singleNonThermalElectron,
+    Src/electron.c:96-124 and the subgroup-interval math at :55-62)."""
+    import math
+
+    k_g, k_phi, k_th = jax.random.split(key, 3)
+    dtype = ph_p.dtype
+    dg = (math.log10(cfg.gamma_max) - math.log10(cfg.gamma_min)) / cfg.n_gamma
+    lg_lo = math.log10(cfg.gamma_min) + (subgroup - 1).astype(dtype) * dg
+    g_lo = 10.0 ** lg_lo
+    g_hi = 10.0 ** (lg_lo + dg)
+    gamma = sample_nonthermal_gamma_range(k_g, g_lo, g_hi, cfg)
+    beta = jnp.sqrt(jnp.maximum(1.0 - 1.0 / (gamma * gamma), 0.0))
+    phi = jax.random.uniform(k_phi, gamma.shape, dtype=dtype, maxval=2.0 * jnp.pi)
+    theta = sample_electron_theta(k_th, beta)
+    gb = gamma * beta
+    el_p = jnp.stack(
+        [gamma, gb * jnp.cos(theta), gb * jnp.sin(theta) * jnp.sin(phi),
+         gb * jnp.sin(theta) * jnp.cos(phi)],
+        axis=-1,
+    )
+    return rotate_electron_to_photon_frame(el_p, ph_p)

@@ -1,4 +1,4 @@
-"""Hot (energy/temperature-dependent) Compton cross-section tables.
+r"""Hot (energy/temperature-dependent) Compton cross-section tables.
 
 TPU-native re-design of the reference hot-cross-section module
 (Src/hot_x_section.c, 1239 LoC): "hot" total cross sections a la Dolence+2009 /
@@ -52,6 +52,9 @@ class HotCrossSectionTable:
     log_t: jax.Array  # (N_T + 1,) log10 theta
     thermal: jax.Array  # (N_PH_E + 1, N_T + 1)
     nonthermal: Optional[jax.Array] = None  # (N_PH_E + 1, N_GAMMA)
+    # fraction of the nonthermal distribution in each gamma subgroup
+    # (reference: electron_dens_subgroup, Src/electron.c:655-675)
+    subgroup_frac: Optional[jax.Array] = None  # (N_GAMMA,)
 
 
 def _boosted_xsec(eps, mu, gamma):
@@ -227,11 +230,17 @@ def load_or_build(cfg: Config, cache_path: Optional[str] = None, dtype=None) -> 
         data = out
     dt = np.dtype(dtype or cfg.dtype)
     nt = data["nonthermal"] if "nonthermal" in getattr(data, "files", data) else None
+    frac = None
+    if cfg.nonthermal_e_dist is not NonthermalDist.OFF:
+        from .cyclosynch import electron_dist_subgroup_dens
+
+        frac = electron_dist_subgroup_dens(cfg)
     return HotCrossSectionTable(
         log_e=jnp.asarray(np.asarray(data["log_e"]), dtype=dt),
         log_t=jnp.asarray(np.asarray(data["log_t"]), dtype=dt),
         thermal=jnp.asarray(np.asarray(data["thermal"]), dtype=dt),
         nonthermal=jnp.asarray(np.asarray(nt), dtype=dt) if nt is not None else None,
+        subgroup_frac=jnp.asarray(frac, dtype=dt) if frac is not None else None,
     )
 
 

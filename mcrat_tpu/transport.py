@@ -366,7 +366,36 @@ def _tau_rate(cfg: Config, frame: HydroFrame, photons: Photons, cell, xsec_table
         )
     else:
         sigma_hat = 1.0
-    return n_e_lab * THOM_X_SECT * sigma_hat * (1.0 - beta * cos_ang), fluid_beta
+    fluid_factor = 1.0 - beta * cos_ang
+    tau0 = n_e_lab * THOM_X_SECT * sigma_hat * fluid_factor
+
+    from .config import NonthermalDist
+
+    if cfg.nonthermal_e_dist is NonthermalDist.OFF or xsec_table is None:
+        return tau0, fluid_beta, None
+
+    # Multi-population optical depths with scattering biases (vectorized
+    # calculateOpticalDepth nonthermal path, reference: Src/optical_depth.c:
+    # 60-112).  tau_i = n_nt,lab f_i sigma_T sigma_hat_i (1 - beta mu);
+    # thermal bias = 1 (calculateThermalScatteringBias returns 1.0, :170-175);
+    # bias_i = bias_0 tau_norm / tau_i (:177-183) with tau_norm = tau_0, or
+    # the first subgroup's tau when the cell has no thermal electrons.
+    from .ops import hot_xsec
+
+    sigma_sub = hot_xsec.interp_nonthermal(xsec_table, photons.comv_p[:, 0])
+    n_nt_lab = frame.nonthermal_dens[safe] * gam
+    tiny = jnp.finfo(tau0.dtype).tiny
+    tau_i = (
+        n_nt_lab[:, None]
+        * xsec_table.subgroup_frac[None, :]
+        * THOM_X_SECT
+        * sigma_sub
+        * fluid_factor[:, None]
+    )
+    tau_norm = jnp.where(tau0 > 0, tau0, tau_i[:, 0])
+    bias_i = tau_norm[:, None] / jnp.maximum(tau_i, tiny)
+    total = tau0 + jnp.sum(bias_i * tau_i, axis=-1)
+    return total, fluid_beta, (tau0, tau_i, bias_i, total)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "stokes_on", "max_rounds"))
@@ -411,7 +440,7 @@ def transport_rounds(
         in_grid = cell >= 0
 
         # 2. comoving four-momentum for the current cell
-        rate, fluid_beta = _tau_rate(cfg, frame, ph, cell, xsec_table)
+        rate, fluid_beta, tau_aux = _tau_rate(cfg, frame, ph, cell, xsec_table)
         comv_p = lorentz_boost(fluid_beta, ph.p, photon=True)
         ph = ph.replace(
             comv_p=jnp.where((active & in_grid)[:, None], comv_p, ph.comv_p),
@@ -443,6 +472,23 @@ def transport_rounds(
         else:
             s_comv = ph.s
         el_p = electrons.sample_thermal_electron(k_el, temp, ph.comv_p)
+        if tau_aux is not None:
+            # Choose the scattering electron population per photon from the
+            # biased cumulative optical depths (vectorized
+            # generateSingleElectron, reference: Src/electron.c:7-68 — with
+            # the proper uniform draw; the reference has a leftover testing
+            # override random_num = 0.6 at electron.c:21).
+            tau0, tau_i, bias_i, total = tau_aux
+            k_pop, k_nt = jax.random.split(jax.random.fold_in(k_el, 1))
+            u = jax.random.uniform(k_pop, tau0.shape, dtype=dtype)
+            safe_total = jnp.maximum(total, jnp.finfo(dtype).tiny)
+            cum_thermal = tau0 / safe_total
+            is_thermal = cum_thermal >= u
+            cum = cum_thermal[:, None] + jnp.cumsum(bias_i * tau_i, axis=-1) / safe_total[:, None]
+            subgroup = 1 + jnp.sum((u[:, None] > cum).astype(jnp.int32), axis=-1)
+            subgroup = jnp.clip(subgroup, 1, cfg.n_gamma)
+            el_nt = electrons.sample_nonthermal_electron(k_nt, subgroup, ph.comv_p, cfg)
+            el_p = jnp.where(is_thermal[:, None], el_p, el_nt)
         res = compton.single_scatter(k_sc, el_p, ph.comv_p, s_comv, stokes_on=stokes_on)
         scattered = will_scatter & res.scattered
         new_lab = lorentz_boost(-fluid_beta, res.ph_p, photon=True)
