@@ -344,24 +344,17 @@ def build_binned_index(host: HydroFrameHost, target_bins: int = 1 << 20, max_sla
         bin_size[2] = span[2]
     inv_bin = 1.0 / bin_size
 
-    i = np.clip(((host.r0 - lo[0]) * inv_bin[0]).astype(np.int64), 0, dims[0] - 1)
-    j = np.clip(((host.r1 - lo[1]) * inv_bin[1]).astype(np.int64), 0, dims[1] - 1)
-    if use_r2:
-        k = np.clip(((host.r2 - lo[2]) * inv_bin[2]).astype(np.int64), 0, dims[2] - 1)
-    else:
-        k = np.zeros(n, dtype=np.int64)
-    flat = (k * dims[1] + j) * dims[0] + i
-    order = np.argsort(flat, kind="stable")
-    sorted_flat = flat[order]
-    nbins = int(dims[0] * dims[1] * dims[2])
-    counts = np.bincount(sorted_flat, minlength=nbins)
-    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    from . import native
+
+    order, starts, counts = native.build_binned_index(
+        host.r0, host.r1, host.r2, lo, 1.0 / bin_size, dims
+    )
     max_slab = int(min(max(counts.max(), 1), max_slab_cap))
     dt = host.cfg.np_dtype()
     return BinnedIndex(
-        cell_ids=jnp.asarray(order.astype(np.int32)),
-        bin_start=jnp.asarray(starts.astype(np.int32)),
-        bin_count=jnp.asarray(counts.astype(np.int32)),
+        cell_ids=jnp.asarray(order),
+        bin_start=jnp.asarray(starts),
+        bin_count=jnp.asarray(counts),
         grid_min=jnp.asarray(lo, dtype=dt),
         inv_bin=jnp.asarray(inv_bin, dtype=dt),
         dims=(int(dims[0]), int(dims[1]), int(dims[2])),

@@ -96,7 +96,9 @@ def read_pluto(
             grp = f[ts[0]]["vars"]
             data = {k: np.asarray(grp[k], dtype=np.float64).ravel() for k in grp.keys()}
     else:
-        raw = np.fromfile(data_path, dtype=np.float64, count=len(var_names) * grid_size)
+        from .. import native
+
+        raw = native.read_dbl(data_path, len(var_names) * grid_size)
         data = {
             name: raw[i * grid_size : (i + 1) * grid_size]
             for i, name in enumerate(var_names)
