@@ -229,13 +229,17 @@ def run_rank(
             index = build_index(cfg, host, edges)
 
             n_emit = 0
-            if cfg.cyclosynchrotron and scatt_frame != scatt_start:
+            cs_active = cfg.cyclosynchrotron and scatt_frame != scatt_start
+            if cs_active:
                 cs_arrays, _ = cyclosynch.emit_pool_photons(
                     cfg, host, scatt_frame, frame, par.fps, work.r_inj,
                     meta.weight_norm, par.max_photons,
                     work.theta_min, work.theta_max, rng,
                 )
                 photons, meta, n_emit = _append_arrays(photons, meta, cs_arrays, dtype)
+                n_pool_before = int(
+                    np.sum(np.asarray(photons.ptype) == int(PhotonType.CS_POOL))
+                )
 
             key, sub = jax.random.split(key)
             res = transport.transport_frame(
@@ -246,9 +250,29 @@ def run_rank(
             photons = res.photons
             time_now += dt_frame
 
-            if cfg.cyclosynchrotron and scatt_frame != scatt_start:
-                # rebin scattered-CS photons if they outnumber the cap, then
-                # absorb below-nu_c photons (reference: Src/mcrat.c:853-878)
+            if cs_active:
+                # one-for-one pool replenishment for scattered (promoted) pool
+                # photons (reference: Src/mcrat.c:791-808), then rebin the
+                # scattered-CS population if it exceeds the cap, then absorb
+                # below-nu_c photons (reference: Src/mcrat.c:819-830, 853-878)
+                n_pool_after = int(
+                    np.sum(np.asarray(photons.ptype) == int(PhotonType.CS_POOL))
+                )
+                deficit = n_pool_before - n_pool_after
+                if deficit > 0:
+                    repl = cyclosynch.emit_pool_replacements(
+                        cfg, host, scatt_frame, frame, par.fps, work.r_inj,
+                        meta.weight_norm, deficit,
+                        work.theta_min, work.theta_max, rng,
+                    )
+                    photons, meta, _ = _append_arrays(photons, meta, repl, dtype)
+                photons, merged = cyclosynch.rebin_population(
+                    cfg, photons, meta, par.max_photons
+                )
+                if merged is not None:
+                    merged = dict(merged)
+                    merged["weight"] = merged["weight"] * meta.weight_norm
+                    photons, meta, _ = _append_arrays(photons, meta, merged, dtype)
                 photons, n_abs, _w_abs = cyclosynch.apply_absorption(
                     cfg, frame_dev, photons
                 )

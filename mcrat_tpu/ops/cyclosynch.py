@@ -516,3 +516,125 @@ def average_dimless_theta(cfg: Config, host: HydroFrameHost) -> float:
     calculateAverageDimlessTheta, Src/mclib.c:1537-1550)."""
     v = host.volumes()
     return float(np.sum(dimless_theta(host.temp) * v) / np.sum(v))
+
+
+def emit_pool_replacements(
+    cfg: Config,
+    host: HydroFrameHost,
+    scatt_frame: int,
+    inj_frame: int,
+    fps: float,
+    r_inj: float,
+    weight: float,
+    count: int,
+    theta_min: float,
+    theta_max: float,
+    rng: np.random.Generator,
+) -> dict:
+    """Emit exactly ``count`` pool photons to replace scattered ones.
+
+    The reference replaces each scattered pool photon immediately and in the
+    same cell (photonEmitCyclosynch single-injection path, reference:
+    Src/mc_cyclosynch.c:1465-1554 driven from Src/mcrat.c:791-808); here the
+    replacement happens at frame granularity with cells drawn from the
+    emission-rate distribution over the advected shell — the stationary
+    distribution the one-for-one rule maintains.
+    """
+    from ..transport import _injection_shell_mask
+    from .fourvec import lorentz_boost
+
+    if count <= 0:
+        return {}
+    rmin, rmax = cs_r_limits(scatt_frame, inj_frame, fps, r_inj)
+    mask = _injection_shell_mask(host, rmin, rmax, theta_min, theta_max)
+    sel = np.flatnonzero(mask)
+    if len(sel) == 0:
+        return {}
+    b = np.asarray(b_magnitude(cfg, host, sel))
+    nu_c_all = cyclotron_freq(b)
+    weights_cells = _bb_photon_count_to_nuc(host.temp[sel], nu_c_all) * host.volumes()[sel]
+    tot = weights_cells.sum()
+    if tot <= 0:
+        return {}
+    pick = rng.choice(len(sel), size=count, p=weights_cells / tot)
+    cell_idx = sel[pick]
+    nu_c = nu_c_all[pick]
+    e_hat = PL_CONST * nu_c / ME_C2
+
+    com_phi = rng.random(count) * 2.0 * math.pi
+    com_cos = rng.random(count) * 2.0 - 1.0
+    com_sin = np.sqrt(np.maximum(1.0 - com_cos**2, 0.0))
+    p_comv = np.stack(
+        [e_hat, e_hat * com_sin * np.cos(com_phi), e_hat * com_sin * np.sin(com_phi), e_hat * com_cos],
+        axis=-1,
+    )
+    if cfg.dims.value == 3:
+        pos_phi = np.zeros(count)
+        x2 = host.r2[cell_idx]
+    else:
+        pos_phi = rng.random(count) * 2.0 * math.pi
+        x2 = pos_phi
+    v2 = host.v2[cell_idx] if cfg.dims.value != 2 else np.zeros(count)
+    bx, by, bz = geo.hydro_vector_to_cartesian(
+        cfg, host.v0[cell_idx], host.v1[cell_idx], v2,
+        host.r0[cell_idx], host.r1[cell_idx], x2,
+    )
+    beta = -np.stack([np.asarray(bx), np.asarray(by), np.asarray(bz)], axis=-1)
+    p_lab = lorentz_boost(beta, p_comv)
+    px, py, pz = geo.hydro_to_mcrat(
+        cfg, host.r0[cell_idx], host.r1[cell_idx],
+        host.r2[cell_idx] if cfg.dims.value == 3 else pos_phi,
+    )
+    pos = np.stack([np.asarray(px), np.asarray(py), np.asarray(pz)], axis=-1)
+    s = np.zeros((count, 4))
+    s[:, 0] = 1.0
+    return dict(
+        p=p_lab,
+        comv_p=p_comv,
+        pos=pos,
+        s=s,
+        weight=np.full(count, weight),
+        num_scatt=np.zeros(count),
+        cell=cell_idx.astype(np.int32),
+        ptype=np.full(count, int(PhotonType.CS_POOL), np.int32),
+    )
+
+
+def rebin_population(cfg: Config, photons, meta, max_photons: int):
+    """Rebin the scattered-CS photons of a device population if they exceed
+    ``max_photons``.
+
+    Host-side wrapper around :func:`rebin_comptonized`: pulls COMPTONIZED /
+    UNABSORBED_CS photons to the host, merges them, nulls the originals, and
+    returns (photons, merged_arrays_to_append | None).  Trigger condition per
+    the reference driver (Src/mcrat.c:819-830, 853-877).
+    """
+    import jax.numpy as jnp
+
+    ptype = np.asarray(photons.ptype)
+    w = np.asarray(photons.weight)
+    cs_mask = (
+        ((ptype == int(PhotonType.COMPTONIZED)) | (ptype == int(PhotonType.UNABSORBED_CS)))
+        & (w > 0)
+    )
+    n_cs = int(cs_mask.sum())
+    if n_cs <= max_photons:
+        return photons, None
+    idx = np.flatnonzero(cs_mask)
+    sub = dict(
+        p=np.asarray(photons.p, dtype=np.float64)[idx],
+        comv_p=np.asarray(photons.comv_p, dtype=np.float64)[idx],
+        pos=np.asarray(photons.pos, dtype=np.float64)[idx],
+        s=np.asarray(photons.s, dtype=np.float64)[idx],
+        weight=w[idx].astype(np.float64),
+        num_scatt=np.asarray(photons.num_scatt, dtype=np.float64)[idx],
+    )
+    merged = rebin_comptonized(cfg, sub, max_photons)
+    # null the originals; the caller appends the merged set into free slots
+    sel = jnp.asarray(idx)
+    photons = photons.replace(
+        weight=photons.weight.at[sel].set(0.0),
+        ptype=photons.ptype.at[sel].set(int(PhotonType.NULL)),
+    )
+    # merged weights are in normalized units already (population weights)
+    return photons, merged

@@ -427,13 +427,17 @@ def transport_rounds(
 
     def cond(carry):
         ph, t_rem, key, n_scatt, rounds = carry
-        active = ph.alive & (t_rem > 0) & (ph.ptype != PhotonType.CS_POOL)
+        active = ph.alive & (t_rem > 0)
         return jnp.any(active) & (rounds < round_cap)
 
     def body(carry):
         ph, t_rem, key, n_scatt, rounds = carry
         key, k_mfp, k_el, k_sc = jax.random.split(key, 4)
-        active = ph.alive & (t_rem > 0) & (ph.ptype != PhotonType.CS_POOL)
+        active = ph.alive & (t_rem > 0)
+        # CS pool photons scatter in place but never move (the reference
+        # excludes them from updatePhotonPosition, Src/mclib.c:1070, while
+        # they still compete in the candidate queue)
+        is_pool = ph.ptype == PhotonType.CS_POOL
 
         # 1. containing cell (cached fast path + index search)
         cell, _ = find_cell(cfg, index, frame, ph.pos, ph.cell)
@@ -461,7 +465,8 @@ def transport_rounds(
         # 4. advance along the lab direction at c (reference: mclib.c:1054-1100)
         inv_p0 = 1.0 / jnp.maximum(ph.p[:, 0], jnp.finfo(dtype).tiny)
         step = (ph.p[:, 1:] * inv_p0[:, None]) * (C_LIGHT * dt)[:, None]
-        ph = ph.replace(pos=jnp.where(active[:, None], ph.pos + step, ph.pos))
+        moves = active & ~is_pool
+        ph = ph.replace(pos=jnp.where(moves[:, None], ph.pos + step, ph.pos))
         t_rem = t_rem - dt
 
         # 5. attempt the scattering for candidates (null collision on reject)
@@ -497,11 +502,18 @@ def transport_rounds(
         else:
             s_lab = res.s
         mask = scattered[:, None]
+        # a scattered pool photon is promoted to COMPTONIZED
+        # (reference: Src/mcrat.c:791-808); the driver replenishes the pool
+        # one-for-one at chunk boundaries
+        new_type = jnp.where(
+            scattered & is_pool, int(PhotonType.COMPTONIZED), ph.ptype
+        )
         ph = ph.replace(
             p=jnp.where(mask, new_lab, ph.p),
             comv_p=jnp.where(mask, res.ph_p, ph.comv_p),
             s=jnp.where(mask, s_lab, ph.s),
             num_scatt=ph.num_scatt + scattered.astype(dtype),
+            ptype=new_type,
         )
         n_scatt = n_scatt + jnp.sum(scattered)
         return ph, t_rem, key, n_scatt, rounds + 1
@@ -517,7 +529,7 @@ def transport_rounds(
             jnp.zeros((), jnp.int32),
         ),
     )
-    active = ph.alive & (t_rem > 0) & (ph.ptype != PhotonType.CS_POOL)
+    active = ph.alive & (t_rem > 0)
     return ChunkResult(
         photons=ph, t_rem=t_rem, n_scatt=n_scatt, n_rounds=rounds,
         all_done=~jnp.any(active),
@@ -595,9 +607,7 @@ def transport_frame(
         if done or chunk_rounds == 0 or rounds_total >= cfg.max_rounds_per_frame:
             break
         if compact and work_ph.capacity > min_compact_capacity:
-            active = np.asarray(
-                work_ph.alive & (work_t > 0) & (work_ph.ptype != PhotonType.CS_POOL)
-            )
+            active = np.asarray(work_ph.alive & (work_t > 0))
             n_active = int(active.sum())
             if n_active < work_ph.capacity // 4:
                 # write current working set back, then shrink

@@ -131,3 +131,40 @@ def test_run_rank_restart_continue(tmp_path):
         frames = sorted(int(k) for k in f.keys())
     # resumed at scatt frame 12: only 12 and 13 get dumped in this run
     assert frames == [12, 13]
+
+
+def test_run_rank_with_cyclosynchrotron(tmp_path):
+    """Full driver pass with the cyclo-synchrotron module on: pool photons are
+    emitted into the advected shell, scatter in place (promoted to
+    COMPTONIZED), get replenished, and below-nu_c photons are absorbed."""
+    from mcrat_tpu.config import BFieldCalc
+
+    cfg = Config(
+        dims=Dims.TWO,
+        geometry=Geometry.SPHERICAL,
+        simulation_type=SimType.CYLINDRICAL_OUTFLOW,
+        cyclosynchrotron=True,
+        b_field_calc=BFieldCalc.TOTAL_E,
+        epsilon_b=0.5,
+        dtype="float64",
+    )
+    par = _par()
+    paths = HydroPaths(filepath=str(tmp_path) + "/", mc_path="MC/")
+    factory = default_synthetic_factory(cfg, par, nr=128, ntheta=24)
+    work = run_rank(
+        cfg, par, paths, rank=0, num_ranks=4, chunk_rounds=0,
+        synthetic_frame_factory=factory, last_frame_override=12, progress=False,
+    )
+    proc = os.path.join(work.mc_dir, "mc_proc_0.h5")
+    assert os.path.exists(proc)
+    import h5py
+
+    with h5py.File(proc) as f:
+        frames = sorted(int(k) for k in f.keys())
+        data = {k: np.asarray(f[str(frames[-1])][k]) for k in f[str(frames[-1])]}
+    assert frames[-1] == 12
+    # photon types present include injected survivors; pool photons are
+    # excluded from dumps
+    types = set(data["PT"].tolist())
+    assert b"p" not in types
+    assert (data["PW"] > 0).all()
