@@ -61,6 +61,10 @@ class HydroFrame:
     domain: jax.Array
     # non-thermal electron number density per cell (zeros when off)
     nonthermal_dens: jax.Array
+    # hot-path property matrix (Ncell, 16): one row gather per transport round
+    # replaces ~12 scalar-array gathers (TPU gathers are expensive).  Column
+    # layout in PCOL below; None until to_device packs it.
+    packed: Optional[jax.Array] = None
 
     @property
     def num_elements(self) -> int:
@@ -84,6 +88,29 @@ class HydroFrame:
             cfg, v0, v1, v2, self.r0[idx], self.r1[idx], x2
         )
         return jnp.stack([bx, by, bz], axis=-1)
+
+
+# Column layout of HydroFrame.packed (padded to 16 for clean TPU tiling)
+PCOL = dict(
+    r0=0, r1=1, r2=2, dr0=3, dr1=4, dr2=5,
+    v0=6, v1=7, v2=8, gamma=9, dens_lab=10, temp=11, nonthermal_dens=12,
+)
+PACKED_WIDTH = 16
+
+
+def fluid_beta_from_rows(cfg: Config, rows, ph_x, ph_y):
+    """Fluid 3-velocity in MCRaT Cartesian from gathered packed rows."""
+    v0 = rows[:, PCOL["v0"]]
+    v1 = rows[:, PCOL["v1"]]
+    v2 = rows[:, PCOL["v2"]] if cfg.dims is not Dims.TWO else jnp.zeros_like(v0)
+    if cfg.dims is Dims.THREE:
+        x2 = rows[:, PCOL["r2"]]
+    else:
+        x2 = jnp.arctan2(ph_y, ph_x)
+    bx, by, bz = geo.hydro_vector_to_cartesian(
+        cfg, v0, v1, v2, rows[:, PCOL["r0"]], rows[:, PCOL["r1"]], x2
+    )
+    return jnp.stack([bx, by, bz], axis=-1)
 
 
 def frame_from_numpy(cfg: Config, arrays: dict, domain=None) -> "HydroFrameHost":
@@ -197,6 +224,16 @@ class HydroFrameHost:
         def put(a):
             return jnp.asarray(np.asarray(a), dtype=dt)
 
+        packed = np.zeros((n, PACKED_WIDTH))
+        cols = dict(
+            r0=self.r0, r1=self.r1, r2=self.r2,
+            dr0=self.dr0, dr1=self.dr1, dr2=self.dr2,
+            v0=self.v0, v1=self.v1, v2=self.v2,
+            gamma=self.gamma, dens_lab=self.dens_lab, temp=self.temp,
+            nonthermal_dens=nt,
+        )
+        for name, val in cols.items():
+            packed[:, PCOL[name]] = val
         return HydroFrame(
             r0=put(self.r0), r1=put(self.r1), r2=put(self.r2),
             dr0=put(self.dr0), dr1=put(self.dr1), dr2=put(self.dr2),
@@ -207,6 +244,7 @@ class HydroFrameHost:
             B0=put(self.B0), B1=put(self.B1), B2=put(self.B2),
             domain=put(self.domain),
             nonthermal_dens=put(nt),
+            packed=put(packed),
         )
 
 
@@ -389,12 +427,29 @@ def find_cell(cfg: Config, index, frame: HydroFrame, pos, cached):
     if use_r2:
         inside = inside & (r2 > dom[2, 0]) & (r2 < dom[2, 1])
     safe_cached = jnp.clip(cached, 0, frame.num_elements - 1)
+    if frame.packed is not None:
+        crow = frame.packed[safe_cached]
+        c0, c1, c2 = crow[:, PCOL["r0"]], crow[:, PCOL["r1"]], crow[:, PCOL["r2"]]
+        s0, s1, s2 = crow[:, PCOL["dr0"]], crow[:, PCOL["dr1"]], crow[:, PCOL["dr2"]]
+    else:
+        c0, c1, c2 = frame.r0[safe_cached], frame.r1[safe_cached], frame.r2[safe_cached]
+        s0, s1, s2 = frame.dr0[safe_cached], frame.dr1[safe_cached], frame.dr2[safe_cached]
     in_cached = (cached >= 0) & geo.in_block(
-        r0, r1, r2,
-        frame.r0[safe_cached], frame.r1[safe_cached], frame.r2[safe_cached],
-        frame.dr0[safe_cached], frame.dr1[safe_cached], frame.dr2[safe_cached],
-        use_r2=use_r2,
+        r0, r1, r2, c0, c1, c2, s0, s1, s2, use_r2=use_r2,
     )
-    searched = index.find(r0, r1, r2, frame, cached)
+
+    # Skip the index search entirely when every in-domain photon is still in
+    # its cached cell — in optically thick regions (mfp << cell size) most
+    # rounds take this branch, and lax.cond with a scalar predicate is a real
+    # branch on TPU.
+    need_search = inside & ~in_cached
+
+    def do_search(_):
+        return index.find(r0, r1, r2, frame, cached)
+
+    def no_search(_):
+        return jnp.full_like(cached, -1)
+
+    searched = jax.lax.cond(jnp.any(need_search), do_search, no_search, None)
     idx = jnp.where(in_cached, cached, searched)
     return jnp.where(inside, idx, -1), in_cached

@@ -79,7 +79,11 @@ def spherical_prep(host: HydroFrameHost, gamma_infinity=100.0, lumi=1e54, r00=1e
     cfg = host.cfg
     r = host.r
     coasting = r >= r00 * gamma_infinity
-    gamma = np.where(coasting, gamma_infinity, r / r00)
+    # clamp the acceleration branch at gamma = 1: the reference's gamma = r/r00
+    # goes below 1 for r < r00 and its vel = sqrt(1 - gamma^-2) then NaNs
+    # (Src/analytic_outflows.c:89,97); photons are never injected there, but a
+    # finite profile keeps the whole grid transport-safe.
+    gamma = np.where(coasting, gamma_infinity, np.maximum(r / r00, 1.0 + 1e-12))
     pres = np.where(
         coasting,
         lumi * r00 ** (2.0 / 3.0) * r ** (-8.0 / 3.0)
@@ -112,7 +116,8 @@ def structured_fireball_prep(
     eta = np.where(host.theta >= theta_j * (gamma_0 / 2.0) ** (1.0 / p), 2.0, eta)
     r_sat = eta * r00
     saturated = host.r >= r_sat
-    gamma = np.where(saturated, eta, host.r / r_sat)
+    # same gamma >= 1 clamp as spherical_prep (reference NaNs below r_sat/r00)
+    gamma = np.where(saturated, eta, np.maximum(host.r / r_sat, 1.0 + 1e-12))
     temp = np.where(saturated, t0 * (r_sat / host.r) ** (2.0 / 3.0) / eta, t0)
     host.gamma = gamma
     host.temp = temp

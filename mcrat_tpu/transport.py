@@ -338,7 +338,7 @@ class ChunkResult(NamedTuple):
     all_done: jax.Array  # scalar bool: no active photons remain this frame
 
 
-def _tau_rate(cfg: Config, frame: HydroFrame, photons: Photons, cell, xsec_table=None):
+def _tau_rate(cfg: Config, frame: HydroFrame, photons: Photons, cell, xsec_table=None, rows=None):
     """Per-photon optical depth per unit length [1/cm].
 
     Vectorized calculateOpticalDepth, thermal path (reference:
@@ -348,21 +348,35 @@ def _tau_rate(cfg: Config, frame: HydroFrame, photons: Photons, cell, xsec_table
     DIRECT mode uses sigma_hat = 1 (Thomson); TABLE mode interpolates the hot
     cross section (ops.hot_xsec).
     """
+    from .grid import PCOL, fluid_beta_from_rows
+
     safe = jnp.clip(cell, 0, frame.num_elements - 1)
-    fluid_beta = frame.fluid_beta_at(cfg, safe, photons.pos[:, 0], photons.pos[:, 1])
+    if rows is None:
+        rows = frame.packed[safe] if frame.packed is not None else None
+    if rows is not None:
+        fluid_beta = fluid_beta_from_rows(cfg, rows, photons.pos[:, 0], photons.pos[:, 1])
+        gam = rows[:, PCOL["gamma"]]
+        dens_lab = rows[:, PCOL["dens_lab"]]
+        temp = rows[:, PCOL["temp"]]
+        nt_dens = rows[:, PCOL["nonthermal_dens"]]
+    else:
+        fluid_beta = frame.fluid_beta_at(cfg, safe, photons.pos[:, 0], photons.pos[:, 1])
+        gam = frame.gamma[safe]
+        dens_lab = frame.dens_lab[safe]
+        temp = frame.temp[safe]
+        nt_dens = frame.nonthermal_dens[safe]
     fl_norm = jnp.sqrt(jnp.sum(fluid_beta**2, axis=-1))
     pv = photons.p[:, 1:]
     ph_norm = jnp.sqrt(jnp.sum(pv * pv, axis=-1))
     denom = jnp.maximum(fl_norm * ph_norm, jnp.finfo(pv.dtype).tiny)
     cos_ang = jnp.sum(fluid_beta * pv, axis=-1) / denom
-    gam = frame.gamma[safe]
     beta = jnp.sqrt(jnp.maximum(1.0 - 1.0 / (gam * gam), 0.0))
-    n_e_lab = frame.dens_lab[safe] / M_P
+    n_e_lab = dens_lab / M_P
     if cfg.tau_calculation is TauCalculation.TABLE and xsec_table is not None:
         from .ops import hot_xsec
 
         sigma_hat = hot_xsec.interp_thermal(
-            xsec_table, photons.comv_p[:, 0], frame.temp[safe]
+            xsec_table, photons.comv_p[:, 0], temp
         )
     else:
         sigma_hat = 1.0
@@ -383,7 +397,7 @@ def _tau_rate(cfg: Config, frame: HydroFrame, photons: Photons, cell, xsec_table
     from .ops import hot_xsec
 
     sigma_sub = hot_xsec.interp_nonthermal(xsec_table, photons.comv_p[:, 0])
-    n_nt_lab = frame.nonthermal_dens[safe] * gam
+    n_nt_lab = nt_dens * gam
     tiny = jnp.finfo(tau0.dtype).tiny
     tau_i = (
         n_nt_lab[:, None]
@@ -443,8 +457,10 @@ def transport_rounds(
         cell, _ = find_cell(cfg, index, frame, ph.pos, ph.cell)
         in_grid = cell >= 0
 
-        # 2. comoving four-momentum for the current cell
-        rate, fluid_beta, tau_aux = _tau_rate(cfg, frame, ph, cell, xsec_table)
+        # 2. one packed-row gather serves tau, fluid velocity, and temperature
+        safe_cell = jnp.clip(cell, 0, frame.num_elements - 1)
+        rows = frame.packed[safe_cell] if frame.packed is not None else None
+        rate, fluid_beta, tau_aux = _tau_rate(cfg, frame, ph, cell, xsec_table, rows=rows)
         comv_p = lorentz_boost(fluid_beta, ph.p, photon=True)
         ph = ph.replace(
             comv_p=jnp.where((active & in_grid)[:, None], comv_p, ph.comv_p),
@@ -470,8 +486,12 @@ def transport_rounds(
         t_rem = t_rem - dt
 
         # 5. attempt the scattering for candidates (null collision on reject)
-        safe = jnp.clip(ph.cell, 0, frame.num_elements - 1)
-        temp = frame.temp[safe]
+        if rows is not None:
+            from .grid import PCOL
+
+            temp = rows[:, PCOL["temp"]]
+        else:
+            temp = frame.temp[jnp.clip(ph.cell, 0, frame.num_elements - 1)]
         if stokes_on:
             s_comv = stokes_rotation(fluid_beta, ph.p[:, 1:], ph.comv_p[:, 1:], ph.s)
         else:
