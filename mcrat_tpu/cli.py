@@ -101,8 +101,53 @@ def main(argv=None):
     mrg.add_argument("--frames", default=None,
                      help="frame range as lo:hi (default: every frame found)")
 
+    st = sub.add_parser(
+        "status",
+        help="report per-rank progress from checkpoints (replaces the "
+             "reference's log-grepping ops script mcrat_msp.sh)",
+    )
+    st.add_argument("base_dir", help="MC output directory (contains angle dirs)")
+    st.add_argument("--last-frame", type=int, required=True)
+
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(message)s", stream=sys.stderr)
+
+    if args.command == "status":
+        import glob
+        import os
+
+        from .io.checkpoint import load_checkpoint, scan_checkpoints
+
+        report = {}
+        for adir in sorted(glob.glob(os.path.join(args.base_dir, "*-*"))):
+            if not os.path.isdir(adir):
+                continue
+            ranks = {}
+            for path in sorted(glob.glob(os.path.join(adir, "mc_chkpt_*.npz"))):
+                rank = int(path.rsplit("_", 1)[1].split(".")[0])
+                loaded = load_checkpoint(adir, rank)
+                if loaded is None:
+                    continue
+                state, photons = loaded
+                done = state.frame > state.frm2 or (
+                    state.restart == "i" and state.frame > state.frm2
+                )
+                ranks[rank] = dict(
+                    inj_frame=state.frame,
+                    frm2=state.frm2,
+                    scatt_frame=state.scatt_frame,
+                    progress=min(
+                        1.0,
+                        max(state.scatt_frame - 1, 0) / max(args.last_frame, 1),
+                    ),
+                    done=bool(done),
+                    n_photons=(
+                        int((photons.weight > 0).sum()) if photons is not None else 0
+                    ),
+                )
+            report[os.path.basename(adir)] = ranks
+        print(json.dumps(report, indent=1))
+        return 0
 
     if getattr(args, "dtype", None) == "float64":
         # without this, float64 requests silently downgrade to float32

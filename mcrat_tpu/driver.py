@@ -140,11 +140,18 @@ def run_rank(
     last_frame_override: Optional[int] = None,
     xsec_cache: Optional[str] = None,
     progress: bool = True,
+    mesh=None,
 ) -> WorkAssignment:
     """Run one rank's full simulation (inject -> transport -> dump -> merge).
 
     ``synthetic_frame_factory(frame) -> (HydroFrameHost, edges|None)`` supplies
     frames for SYNTHETIC runs; file-backed formats read from ``paths``.
+
+    With ``mesh`` (a 1-D jax.sharding.Mesh), the photon axis is sharded over
+    the mesh devices and each frame window runs as one sharded transport step
+    (parallel.sharded_transport_frame): the TPU-pod analogue of the
+    reference's OpenMP intra-rank threading, on top of the angle x frame
+    process decomposition.
     """
     base_dir = base_dir or os.path.join(paths.filepath, paths.mc_path)
     work = decompose_work(par, rank, num_ranks, base_dir)
@@ -242,11 +249,29 @@ def run_rank(
                 )
 
             key, sub = jax.random.split(key)
-            res = transport.transport_frame(
-                cfg, photons, frame_dev, index, dt_frame, sub,
-                xsec_table=xsec_table, stokes_on=cfg.stokes,
-                chunk_rounds=chunk_rounds,
-            )
+            if mesh is not None:
+                from .parallel import pad_capacity, shard_photons, sharded_transport_frame
+                from .parallel.mesh import replicate
+
+                nsh = mesh.devices.size
+                if photons.capacity % nsh:
+                    grown = transport.empty_photons(
+                        pad_capacity(photons.capacity, nsh), photons.p.dtype
+                    )
+                    photons = jax.tree_util.tree_map(
+                        lambda g, p: g.at[: p.shape[0]].set(p), grown, photons
+                    )
+                res = sharded_transport_frame(
+                    cfg, mesh, shard_photons(photons, mesh),
+                    replicate(frame_dev, mesh), replicate(index, mesh),
+                    dt_frame, sub, xsec_table=xsec_table, stokes_on=cfg.stokes,
+                )
+            else:
+                res = transport.transport_frame(
+                    cfg, photons, frame_dev, index, dt_frame, sub,
+                    xsec_table=xsec_table, stokes_on=cfg.stokes,
+                    chunk_rounds=chunk_rounds,
+                )
             photons = res.photons
             time_now += dt_frame
 

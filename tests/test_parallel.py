@@ -53,3 +53,33 @@ def test_sharded_transport_matches_expectations():
     alive = np.asarray(out.weight) > 0
     d = np.linalg.norm(np.asarray(out.pos) - np.asarray(ph.pos), axis=1)
     assert (d[alive] > 0).all()
+
+
+def test_driver_with_mesh(tmp_path):
+    """Full driver pass with the photon axis sharded over the 8-device mesh."""
+    import os
+
+    from mcrat_tpu.config import McPar
+    from mcrat_tpu.driver import default_synthetic_factory, run_rank
+    from mcrat_tpu.io.hydro import HydroPaths
+
+    par = McPar(
+        fps=5.0, last_frame=12, r0_domain=(1e12, 5e13), r1_domain=(0.0, 1.0),
+        r2_domain=(0.0, 0.0), theta_min_deg=0.0, theta_max_deg=6.0,
+        n_theta_bins=1, frm0=(10,), frm2=(10,), inj_radius=(8e12,),
+        spect=__import__("mcrat_tpu.config", fromlist=["Spectrum"]).Spectrum.BLACKBODY,
+        min_photons=300, max_photons=1500, restart="i",
+    )
+    paths = HydroPaths(filepath=str(tmp_path) + "/", mc_path="MC/")
+    factory = default_synthetic_factory(CFG, par, nr=96, ntheta=16)
+    mesh = make_mesh()
+    work = run_rank(
+        CFG, par, paths, rank=0, num_ranks=1,
+        synthetic_frame_factory=factory, progress=False, mesh=mesh,
+    )
+    assert os.path.exists(os.path.join(work.mc_dir, "mc_proc_0.h5"))
+    import h5py
+
+    with h5py.File(os.path.join(work.mc_dir, "mc_proc_0.h5")) as f:
+        frames = sorted(int(k) for k in f.keys())
+    assert frames == [10, 11, 12]
