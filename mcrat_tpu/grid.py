@@ -61,9 +61,12 @@ class HydroFrame:
     domain: jax.Array
     # non-thermal electron number density per cell (zeros when off)
     nonthermal_dens: jax.Array
-    # hot-path property matrix (Ncell, 16): one row gather per transport round
-    # replaces ~12 scalar-array gathers (TPU gathers are expensive).  Column
-    # layout in PCOL below; None until to_device packs it.
+    # hot-path property matrix (16, Ncell), TRANSPOSED so that gathered
+    # per-photon columns are (16, N): the minor axis is the photon axis, which
+    # keeps every elementwise op on full 128-wide vector lanes ((N, 16) arrays
+    # waste 7/8 of each lane group on TPU tiling).  One matrix gather per
+    # search replaces ~12 scalar-array gathers.  Row layout in PCOL below;
+    # None until to_device packs it.
     packed: Optional[jax.Array] = None
 
     @property
@@ -90,7 +93,7 @@ class HydroFrame:
         return jnp.stack([bx, by, bz], axis=-1)
 
 
-# Column layout of HydroFrame.packed (padded to 16 for clean TPU tiling)
+# Row layout of HydroFrame.packed (padded to 16 for clean TPU sublane tiling)
 PCOL = dict(
     r0=0, r1=1, r2=2, dr0=3, dr1=4, dr2=5,
     v0=6, v1=7, v2=8, gamma=9, dens_lab=10, temp=11, nonthermal_dens=12,
@@ -99,16 +102,16 @@ PACKED_WIDTH = 16
 
 
 def fluid_beta_from_rows(cfg: Config, rows, ph_x, ph_y):
-    """Fluid 3-velocity in MCRaT Cartesian from gathered packed rows."""
-    v0 = rows[:, PCOL["v0"]]
-    v1 = rows[:, PCOL["v1"]]
-    v2 = rows[:, PCOL["v2"]] if cfg.dims is not Dims.TWO else jnp.zeros_like(v0)
+    """Fluid 3-velocity in MCRaT Cartesian from gathered packed columns (16, N)."""
+    v0 = rows[PCOL["v0"]]
+    v1 = rows[PCOL["v1"]]
+    v2 = rows[PCOL["v2"]] if cfg.dims is not Dims.TWO else jnp.zeros_like(v0)
     if cfg.dims is Dims.THREE:
-        x2 = rows[:, PCOL["r2"]]
+        x2 = rows[PCOL["r2"]]
     else:
         x2 = jnp.arctan2(ph_y, ph_x)
     bx, by, bz = geo.hydro_vector_to_cartesian(
-        cfg, v0, v1, v2, rows[:, PCOL["r0"]], rows[:, PCOL["r1"]], x2
+        cfg, v0, v1, v2, rows[PCOL["r0"]], rows[PCOL["r1"]], x2
     )
     return jnp.stack([bx, by, bz], axis=-1)
 
@@ -224,7 +227,7 @@ class HydroFrameHost:
         def put(a):
             return jnp.asarray(np.asarray(a), dtype=dt)
 
-        packed = np.zeros((n, PACKED_WIDTH))
+        packed = np.zeros((PACKED_WIDTH, n))
         cols = dict(
             r0=self.r0, r1=self.r1, r2=self.r2,
             dr0=self.dr0, dr1=self.dr1, dr2=self.dr2,
@@ -233,7 +236,7 @@ class HydroFrameHost:
             nonthermal_dens=nt,
         )
         for name, val in cols.items():
-            packed[:, PCOL[name]] = val
+            packed[PCOL[name], :] = val
         return HydroFrame(
             r0=put(self.r0), r1=put(self.r1), r2=put(self.r2),
             dr0=put(self.dr0), dr1=put(self.dr1), dr2=put(self.dr2),
@@ -410,6 +413,52 @@ def build_rectilinear_index(edges0, edges1, edges2=None, dtype=np.float64):
     )
 
 
+def find_cell_rows(cfg: Config, index, frame: HydroFrame, pos, cached, row):
+    """Containing-cell lookup carrying the (16, N) packed property columns.
+
+    The carried columns make the reference's per-photon ``checkInBlock`` fast
+    path (Src/mclib.c:510-520) a pure VPU AABB test — no gather needed to
+    decide whether a photon stayed in its cell.  The index search + one packed
+    gather then resolve the movers; photons still in their cached cell keep the
+    carried values (this also pins the cell choice for points on cell seams).
+
+    NB measured on v5e: running the search under ``lax.cond(any(miss))`` saves
+    only ~3% in the optically-thick regime (the searchsorted is cheap in the
+    transposed layout) but costs ~40% whenever it fires, because a cond whose
+    branches return (16, N) buffers defeats fusion of the surrounding round
+    body.  Unconditional search wins on both regimes.
+
+    Vectorizes findContainingHydroCell (reference: Src/mclib.c:436-615).
+    Returns (cell, row, in_grid).
+    """
+    r0, r1, r2 = geo.mcrat_to_hydro(cfg, pos[..., 0], pos[..., 1], pos[..., 2])
+    use_r2 = cfg.dims is Dims.THREE
+    dom = frame.domain
+    inside = (
+        (r0 > dom[0, 0]) & (r0 < dom[0, 1]) & (r1 > dom[1, 0]) & (r1 < dom[1, 1])
+    )
+    if use_r2:
+        inside = inside & (r2 > dom[2, 0]) & (r2 < dom[2, 1])
+    in_cached = (cached >= 0) & geo.in_block(
+        r0, r1, r2,
+        row[PCOL["r0"]], row[PCOL["r1"]], row[PCOL["r2"]],
+        row[PCOL["dr0"]], row[PCOL["dr1"]], row[PCOL["dr2"]],
+        use_r2=use_r2,
+    )
+    s_cell = index.find(r0, r1, r2, frame, cached)
+    s_row = frame.packed[:, jnp.clip(s_cell, 0, frame.num_elements - 1)]
+    cell = jnp.where(in_cached, cached, s_cell)
+    row_out = jnp.where(in_cached[None, :], row, s_row)
+    cell = jnp.where(inside, cell, -1)
+    return cell, row_out, inside & (cell >= 0)
+
+
+def gather_rows(frame: HydroFrame, cell):
+    """One packed-column gather (seeds the carried (16, N) rows before a loop)."""
+    safe = jnp.clip(cell, 0, frame.num_elements - 1)
+    return frame.packed[:, safe]
+
+
 def find_cell(cfg: Config, index, frame: HydroFrame, pos, cached):
     """Containing-cell lookup with cached fast path.
 
@@ -428,9 +477,9 @@ def find_cell(cfg: Config, index, frame: HydroFrame, pos, cached):
         inside = inside & (r2 > dom[2, 0]) & (r2 < dom[2, 1])
     safe_cached = jnp.clip(cached, 0, frame.num_elements - 1)
     if frame.packed is not None:
-        crow = frame.packed[safe_cached]
-        c0, c1, c2 = crow[:, PCOL["r0"]], crow[:, PCOL["r1"]], crow[:, PCOL["r2"]]
-        s0, s1, s2 = crow[:, PCOL["dr0"]], crow[:, PCOL["dr1"]], crow[:, PCOL["dr2"]]
+        crow = frame.packed[:, safe_cached]
+        c0, c1, c2 = crow[PCOL["r0"]], crow[PCOL["r1"]], crow[PCOL["r2"]]
+        s0, s1, s2 = crow[PCOL["dr0"]], crow[PCOL["dr1"]], crow[PCOL["dr2"]]
     else:
         c0, c1, c2 = frame.r0[safe_cached], frame.r1[safe_cached], frame.r2[safe_cached]
         s0, s1, s2 = frame.dr0[safe_cached], frame.dr1[safe_cached], frame.dr2[safe_cached]

@@ -17,7 +17,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .fourvec import lorentz_boost, rotate_about_y, rotate_about_z
+from .fourvec import lorentz_boost, rotate_about_y_cs, rotate_about_z_cs
 from .rng import batched_rejection
 from .stokes import Z_HAT, fano_scatter_stokes, find_phi, find_xy, mueller_rotate, stokes_rotation
 
@@ -39,8 +39,9 @@ def kn_cross_section(energy_ratio):
     return jnp.where(e >= 1e-3, full, 1.0 - 2.0 * e)
 
 
-def sample_kn_angles(key, e0, q, u, stokes_on: bool, max_iters: int = 24):
-    """Sample (theta, phi) from the polarized KN differential cross section.
+def sample_kn_angles_cs(key, e0, q, u, stokes_on: bool, max_iters: int = 24):
+    """Sample scattering angles from the polarized KN differential cross
+    section, returned as (cos t, sin t, cos phi, sin phi).
 
     Vectorized kleinNishinaScatter's angle stage (reference:
     Src/mcrat_scattering.c:532-585).  ``e0`` is the photon energy in the
@@ -50,8 +51,13 @@ def sample_kn_angles(key, e0, q, u, stokes_on: bool, max_iters: int = 24):
 
     theta: rejection sampling of
       f(c) = (1 + e(1-c))^-2 (e(1-c) + 1/(1+e(1-c)) + c^2), envelope 2.
-    phi: uniform when unpolarized; otherwise rejection against the
-      phi-dependent factor normalized at phi_max = |atan2(-u, q)|/2.
+    phi: the reference proposes a uniform angle and rejects against the
+      phi-dependent factor normalized at phi_max = |atan2(-u, q)|/2
+      (uniform when unpolarized).  Here the uniform angle is proposed as a
+      point in the unit disk — (cos phi, sin phi) = (x, y)/r with
+      cos 2phi = (x^2 - y^2)/r^2, sin 2phi = 2xy/r^2 — which multiplies the
+      acceptance by pi/4 but removes every trig call from the rejection loop
+      and hands the caller the (cos, sin) pair it actually needs.
     """
     shape = e0.shape
     dtype = e0.dtype
@@ -76,41 +82,52 @@ def sample_kn_angles(key, e0, q, u, stokes_on: bool, max_iters: int = 24):
         init=(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)),
         max_iters=max_iters,
     )
-    theta = jnp.arccos(jnp.clip(cos_theta, -1.0, 1.0))
+    cos_theta = jnp.clip(cos_theta, -1.0, 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
 
-    if not stokes_on:
-        phi = jax.random.uniform(k_phi, shape, dtype=dtype, maxval=2.0 * jnp.pi)
-        return theta, phi
-
-    # phi-dependent factor (reference: mcrat_scattering.c:541-584)
-    mu = 1.0 + e0 * (1.0 - cos_theta)
-    sin_t = jnp.sin(theta)
-    f_theta = (1.0 / mu + mu**-3 - (sin_t * sin_t) / (mu * mu)) * sin_t
-    pol_amp = (sin_t**3 / (mu * mu))
-    phi_max = jnp.abs(jnp.arctan2(-u, q)) / 2.0
-    norm = f_theta + pol_amp * (q * jnp.cos(2 * phi_max) - u * jnp.sin(2 * phi_max))
-    unpolarized = (q == 0.0) & (u == 0.0)
-    safe_norm = jnp.where(norm != 0, norm, 1.0)
+    if stokes_on:
+        # phi-dependent factor (reference: mcrat_scattering.c:541-584)
+        mu = 1.0 + e0 * (1.0 - cos_theta)
+        f_theta = (1.0 / mu + mu**-3 - (sin_theta * sin_theta) / (mu * mu)) * sin_theta
+        pol_amp = sin_theta**3 / (mu * mu)
+        phi_max = jnp.abs(jnp.arctan2(-u, q)) / 2.0
+        norm = f_theta + pol_amp * (q * jnp.cos(2 * phi_max) - u * jnp.sin(2 * phi_max))
+        unpolarized = (q == 0.0) & (u == 0.0)
+        safe_norm = jnp.where(norm != 0, norm, 1.0)
 
     def propose_phi(k):
         k1, k2 = jax.random.split(k)
-        phi = jax.random.uniform(k1, shape, dtype=dtype, maxval=2.0 * jnp.pi)
-        y = jax.random.uniform(k2, shape, dtype=dtype)
-        return (phi, y)
+        xy = jax.random.uniform(k1, shape + (2,), dtype=dtype, minval=-1.0, maxval=1.0)
+        y_acc = jax.random.uniform(k2, shape, dtype=dtype)
+        return (xy[..., 0], xy[..., 1], y_acc)
 
-    def accept_phi(phi, y):
-        f = (f_theta + pol_amp * (q * jnp.cos(2 * phi) - u * jnp.sin(2 * phi))) / safe_norm
-        return unpolarized | (y < f)
+    def accept_phi(x, y, y_acc):
+        r2 = x * x + y * y
+        in_disk = (r2 <= 1.0) & (r2 > jnp.finfo(dtype).tiny)
+        if not stokes_on:
+            return in_disk
+        safe_r2 = jnp.maximum(r2, jnp.finfo(dtype).tiny)
+        c2 = (x * x - y * y) / safe_r2
+        s2 = (2.0 * x * y) / safe_r2
+        f = (f_theta + pol_amp * (q * c2 - u * s2)) / safe_norm
+        return in_disk & (unpolarized | (y_acc < f))
 
-    phi, _ = batched_rejection(
+    x, y, _ = batched_rejection(
         k_phi,
         shape,
         propose_phi,
         accept_phi,
-        init=(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)),
+        init=(jnp.ones(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)),
         max_iters=max_iters,
     )
-    return theta, phi
+    inv_r = 1.0 / jnp.sqrt(jnp.maximum(x * x + y * y, jnp.finfo(dtype).tiny))
+    return cos_theta, sin_theta, x * inv_r, y * inv_r
+
+
+def sample_kn_angles(key, e0, q, u, stokes_on: bool, max_iters: int = 24):
+    """(theta, phi) form of :func:`sample_kn_angles_cs` (angles in radians)."""
+    ct, st, cp, sp = sample_kn_angles_cs(key, e0, q, u, stokes_on, max_iters)
+    return jnp.arccos(ct), jnp.arctan2(sp, cp) % (2.0 * jnp.pi)
 
 
 class ScatterResult(NamedTuple):
@@ -155,34 +172,42 @@ def single_scatter(key, el_p, ph_p, s, stokes_on: bool = True) -> ScatterResult:
 
     ph_orig_vec = ph_rest[..., 1:]
     e0 = ph_rest[..., 0]
+    tiny = jnp.finfo(dtype).tiny
 
-    # Alignment rotations (reference: mcrat_scattering.c:244-298).
-    phi0 = jnp.arctan2(ph_rest[..., 2], ph_rest[..., 1])
-    v1 = rotate_about_z(ph_orig_vec, -phi0)
-    v1 = v1.at[..., 1].set(0.0)
-    phi1 = jnp.arctan2(v1[..., 2], v1[..., 0])
-    # After both rotations the photon lies exactly along +x with |p| = e0.
+    # Alignment rotations (reference: mcrat_scattering.c:244-298), with the
+    # rotation cosines/sines taken directly from the components instead of
+    # atan2 -> cos/sin: phi0 = atan2(py, px) about z, then phi1 = atan2(z', x')
+    # about y put the photon exactly along +x with |p| = e0.
+    rho0 = jnp.sqrt(ph_rest[..., 1] ** 2 + ph_rest[..., 2] ** 2)
+    has_xy = rho0 > 0
+    safe_rho0 = jnp.maximum(rho0, tiny)
+    c0 = jnp.where(has_xy, ph_rest[..., 1] / safe_rho0, 1.0)
+    s0 = jnp.where(has_xy, ph_rest[..., 2] / safe_rho0, 0.0)
+    # after rotate_about_z by -phi0: x' = rho0, y' = 0, z' = pz.
+    # e0 == 0 (dead/padded lanes) keeps everything finite: identity rotation.
+    inv_e0 = jnp.where(e0 > 0, 1.0 / jnp.maximum(e0, tiny), 0.0)
+    c1 = jnp.where(e0 > 0, rho0 * inv_e0, 1.0)
+    s1 = ph_rest[..., 3] * inv_e0
 
     # KN acceptance (reference: mcrat_scattering.c:518-521).
     accept_u = jax.random.uniform(k_accept, e0.shape, dtype=dtype)
     scattered = accept_u <= kn_cross_section(e0)
 
-    theta, phi = sample_kn_angles(
+    ct, st, c_phi, s_phi = sample_kn_angles_cs(
         k_angles, e0, s_work[..., 1], s_work[..., 2], stokes_on=stokes_on
     )
-    ct, st = jnp.cos(theta), jnp.sin(theta)
 
     # Compton shift in m_e c units (reference: mcrat_scattering.c:322).
     e1 = e0 / (1.0 + e0 * (1.0 - ct))
     # Scattered direction: phi measured clockwise from z to y
     # (reference: mcrat_scattering.c:323-325).
     scat_aligned = jnp.stack(
-        [e1 * ct, e1 * st * jnp.sin(phi), e1 * st * jnp.cos(phi)], axis=-1
+        [e1 * ct, e1 * st * s_phi, e1 * st * c_phi], axis=-1
     )
 
     # Undo rotation about y then about z (reference: mcrat_scattering.c:360-386).
-    scat_vec = rotate_about_y(scat_aligned, phi1)
-    scat_vec = rotate_about_z(scat_vec, phi0)
+    scat_vec = rotate_about_y_cs(scat_aligned, c1, s1)
+    scat_vec = rotate_about_z_cs(scat_vec, c0, s0)
 
     if stokes_on:
         z = jnp.broadcast_to(Z_HAT.astype(dtype), ph_orig_vec.shape)

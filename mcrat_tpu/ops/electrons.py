@@ -13,86 +13,101 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..constants import KB_OVER_MEC2, C_LIGHT, K_B, M_EL
-from .fourvec import rotate_about_x, rotate_about_y
+from ..constants import KB_OVER_MEC2
+from .fourvec import rotate_about_x_cs, rotate_about_y_cs
 from .rng import batched_rejection, uniform_pos
-from .special import bessel_k2e
-
-# Temperature threshold between relativistic MJ rejection sampling and the
-# three-Gaussian non-relativistic draw (reference: Src/electron.c:207,227).
-T_RELATIVISTIC = 1e7
 
 
-def sample_thermal_gamma(key, temp, max_iters: int = 24):
-    """Sample electron Lorentz factors from a thermal distribution at ``temp`` [K].
+def sample_thermal_gamma_beta(key, temp, max_iters: int = 16):
+    """Sample (gamma, gamma*beta) from an exact Maxwell-Juttner at ``temp`` [K].
 
-    Vectorized sampleThermalElectron (reference: Src/electron.c:202-237).
-    T >= 1e7 K: rejection sampling of gamma^2 beta exp(-gamma/theta)/K2(1/theta)
-    with proposals uniform on (0, 1 + 100 theta) and envelope 1/2.
-    T < 1e7 K: gamma from three Gaussian velocity components with sigma =
-    sqrt(k T / m_e).
+    Replaces the reference's sampler (sampleThermalElectron, Src/electron.c:
+    202-237) with a distribution-identical one that is uniformly efficient at
+    every temperature.  The reference proposes gamma uniform on (0, 1+100
+    theta) under a constant envelope; that scheme's acceptance is 2 theta /
+    (1 + 100 theta) <= 2% — fine for its scalar retry-until-accept loop, fatal
+    for a batched fixed-trial loop (at T = 1e9 K most lanes would exhaust
+    their trials).
+
+    Here the MJ density is written in xi = (gamma - 1)/theta:
+
+        f(xi) ∝ (1 + a) sqrt(a (2 + a)) e^-xi,   a = theta xi,
+
+    and bounded (tight at a = 1, exact inequality (1+a)^{3/2} <= sqrt(2)
+    (1 + a^{3/2})) by the two-part envelope
+
+        2 sqrt(theta) (sqrt(xi) + theta^{3/2} xi^2) e^-xi,
+
+    i.e. a mixture of Gamma(3/2) and Gamma(3) — both exactly samplable
+    (z^2/2 + Exp and the sum of three Exp).  The acceptance ratio needs no
+    exp, log, or Bessel evaluation, and equals K2e(1/theta) / (sqrt(pi theta)
+    + 4 theta^2) in [0.5, 0.78] for ALL theta: the Gamma(3/2) limit *is* the
+    nonrelativistic Maxwell-Boltzmann (making the reference's separate
+    three-Gaussian branch unnecessary), the Gamma(3) limit the ultra-
+    relativistic one.
+
+    Returns (gamma, gamma*beta); the second form keeps full precision for
+    nonrelativistic lanes where gamma - 1 ~ theta underflows in float32.
     """
     dtype = temp.dtype
     shape = temp.shape
-    theta = KB_OVER_MEC2 * temp
-    k_rel, k_gauss = jax.random.split(key)
+    theta = jnp.maximum(KB_OVER_MEC2 * temp, jnp.finfo(dtype).tiny)
+    sqrt_theta = jnp.sqrt(theta)
+    # mixture weight of the Gamma(3/2) component: mass sqrt(pi theta) vs the
+    # Gamma(3) component's 4 theta^2
+    w32 = jnp.sqrt(jnp.pi) / (jnp.sqrt(jnp.pi) + 4.0 * theta * sqrt_theta)
 
-    # --- relativistic branch (rejection) ---------------------------------------
-    k2e = bessel_k2e(1.0 / jnp.maximum(theta, 1e-10))
+    def propose(k):
+        ku = jax.random.split(k, 2)
+        u = uniform_pos(ku[0], shape + (5,), dtype)
+        z = jax.random.normal(ku[1], shape, dtype)
+        xi_g3 = -jnp.log(u[..., 0] * u[..., 1] * u[..., 2])
+        xi_g32 = 0.5 * z * z - jnp.log(u[..., 0])
+        xi = jnp.where(u[..., 3] < w32, xi_g32, xi_g3)
+        return (xi, u[..., 4])
 
-    def propose2(k):
-        k1, k2 = jax.random.split(k)
-        x = uniform_pos(k1, shape, dtype) * (1.0 + 100.0 * theta)
-        y = jax.random.uniform(k2, shape, dtype=dtype) / 2.0
-        return (x, y)
+    def accept(xi, u_acc):
+        a = theta * xi
+        target = (1.0 + a) * jnp.sqrt(jnp.maximum(a * (2.0 + a), 0.0))
+        envelope = 2.0 * sqrt_theta * (jnp.sqrt(xi) + theta * sqrt_theta * xi * xi)
+        return u_acc * envelope <= target
 
-    # Lanes on the non-relativistic branch auto-accept so batched lanes with
-    # cold cells cannot stall the whole-population rejection loop (their value
-    # is replaced by the Gaussian draw below anyway).
-    nonrel = temp < T_RELATIVISTIC
-
-    def accept2(x, y):
-        # x < 1 would give beta = nan in the reference; those proposals are
-        # rejected there via the isnan check (Src/electron.c:214).
-        valid = x > 1.0
-        beta = jnp.sqrt(jnp.maximum(1.0 - 1.0 / (x * x), 1e-30))
-        # f = x^2 beta exp(-(x-1)/theta)/K2e(1/theta): exactly the reference's
-        # x^2 beta exp(-x/theta)/K2(1/theta), written in overflow-safe form.
-        f = x * x * beta * jnp.exp(-(x - 1.0) / theta) / k2e
-        return nonrel | (valid & (y < f))
-
-    (gamma_rel, _y) = batched_rejection(
-        k_rel,
-        shape,
-        propose2,
-        accept2,
-        init=(jnp.ones(shape, dtype) + theta, jnp.zeros(shape, dtype)),
+    xi, _ = batched_rejection(
+        key, shape, propose, accept,
+        init=(jnp.full(shape, 1.5, dtype), jnp.zeros(shape, dtype)),
         max_iters=max_iters,
     )
-
-    # --- non-relativistic branch -----------------------------------------------
-    sigma = jnp.sqrt(K_B * temp / M_EL) / C_LIGHT
-    v = jax.random.normal(k_gauss, shape + (3,), dtype=dtype) * sigma[..., None]
-    v2 = jnp.sum(v * v, axis=-1)
-    gamma_gauss = 1.0 / jnp.sqrt(jnp.maximum(1.0 - v2, 1e-30))
-
-    return jnp.where(temp >= T_RELATIVISTIC, gamma_rel, gamma_gauss)
+    a = theta * xi
+    gamma = 1.0 + a
+    gamma_beta = jnp.sqrt(jnp.maximum(a * (2.0 + a), 0.0))
+    return gamma, gamma_beta
 
 
-def sample_electron_theta(key, beta):
-    """Relative polar angle between electron and photon.
+def sample_thermal_gamma(key, temp, max_iters: int = 16):
+    """Sample electron Lorentz factors from a thermal distribution at ``temp`` [K]."""
+    gamma, _ = sample_thermal_gamma_beta(key, temp, max_iters=max_iters)
+    return gamma
+
+
+def sample_electron_cos_theta(key, beta):
+    """cos of the relative polar angle between electron and photon.
 
     Inverse CDF of (1 - beta cos t) sin t (vectorized from reference
     Src/electron.c:196, RAIKOU eq. 56):
-        theta = acos((1 - sqrt(1 + beta^2 + 2 beta - 4 beta u)) / beta)
-    with the beta -> 0 limit cos(theta) = 2u - 1.
+        cos t = (1 - sqrt(1 + beta^2 + 2 beta - 4 beta u)) / beta
+    with the beta -> 0 limit cos t = 2u - 1.
     """
     u = jax.random.uniform(key, beta.shape, dtype=beta.dtype)
     safe_beta = jnp.maximum(beta, 1e-8)
     arg = 1.0 + safe_beta * safe_beta + 2.0 * safe_beta - 4.0 * safe_beta * u
     cos_t = (1.0 - jnp.sqrt(jnp.maximum(arg, 0.0))) / safe_beta
     cos_t = jnp.where(beta < 1e-6, 2.0 * u - 1.0, cos_t)
-    return jnp.arccos(jnp.clip(cos_t, -1.0, 1.0))
+    return jnp.clip(cos_t, -1.0, 1.0)
+
+
+def sample_electron_theta(key, beta):
+    """Relative polar angle between electron and photon (angle form)."""
+    return jnp.arccos(sample_electron_cos_theta(key, beta))
 
 
 def rotate_electron_to_photon_frame(el_p, ph_p):
@@ -100,18 +115,29 @@ def rotate_electron_to_photon_frame(el_p, ph_p):
 
     Vectorized rotateElectron (reference: Src/electron.c:126-175).  The sampled
     electron direction treats the photon as the polar axis with components
-    ordered (E, p cos t, p sin t sin phi, p sin t cos phi); the reference's
-    photon angles are computed as phi = atan2(p2, p3), theta =
-    atan2(sqrt(p2^2+p3^2), p1), then the spatial part is rotated about y by
-    theta and about x by -phi.
+    ordered (E, p cos t, p sin t sin phi, p sin t cos phi); the reference
+    computes photon angles phi = atan2(p2, p3), theta = atan2(sqrt(p2^2+p3^2),
+    p1), then rotates the spatial part about y by theta and about x by -phi.
+    Here the rotation sines/cosines come directly from the photon components
+    (no atan2/trig round trip): cos th = p1/|p|, sin th = rho/|p|,
+    cos ph = p3/rho, sin ph = p2/rho with rho = sqrt(p2^2 + p3^2).
     """
-    ph_phi = jnp.arctan2(ph_p[..., 2], ph_p[..., 3])
-    ph_theta = jnp.arctan2(
-        jnp.sqrt(ph_p[..., 2] ** 2 + ph_p[..., 3] ** 2), ph_p[..., 1]
-    )
+    dtype = ph_p.dtype
+    tiny = jnp.finfo(dtype).tiny
+    rho2 = ph_p[..., 2] ** 2 + ph_p[..., 3] ** 2
+    rho = jnp.sqrt(rho2)
+    norm = jnp.sqrt(rho2 + ph_p[..., 1] ** 2)
+    inv_norm = 1.0 / jnp.maximum(norm, tiny)
+    c_th = ph_p[..., 1] * inv_norm
+    s_th = rho * inv_norm
+    # rho -> 0: photon along +/-x; phi is arbitrary, atan2(0, 0) = 0 in the
+    # reference, i.e. (cos, sin) = (1, 0)
+    safe_rho = jnp.maximum(rho, tiny)
+    c_ph = jnp.where(rho > 0, ph_p[..., 3] / safe_rho, 1.0)
+    s_ph = jnp.where(rho > 0, ph_p[..., 2] / safe_rho, 0.0)
     v = el_p[..., 1:]
-    v = rotate_about_y(v, ph_theta)
-    v = rotate_about_x(v, -ph_phi)
+    v = rotate_about_y_cs(v, c_th, s_th)
+    v = rotate_about_x_cs(v, c_ph, -s_ph)
     return jnp.concatenate([el_p[..., :1], v], axis=-1)
 
 
@@ -124,17 +150,17 @@ def sample_thermal_electron(key, temp, ph_p):
     Returns (N, 4) electron four-momentum in units of m_e c.
     """
     k_g, k_phi, k_th = jax.random.split(key, 3)
-    gamma = sample_thermal_gamma(k_g, temp)
-    beta = jnp.sqrt(jnp.maximum(1.0 - 1.0 / (gamma * gamma), 0.0))
+    gamma, gb = sample_thermal_gamma_beta(k_g, temp)
+    beta = gb / gamma
     phi = jax.random.uniform(k_phi, temp.shape, dtype=temp.dtype, maxval=2.0 * jnp.pi)
-    theta = sample_electron_theta(k_th, beta)
-    gb = gamma * beta
+    cos_t = sample_electron_cos_theta(k_th, beta)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
     el_p = jnp.stack(
         [
             gamma,
-            gb * jnp.cos(theta),
-            gb * jnp.sin(theta) * jnp.sin(phi),
-            gb * jnp.sin(theta) * jnp.cos(phi),
+            gb * cos_t,
+            gb * sin_t * jnp.sin(phi),
+            gb * sin_t * jnp.cos(phi),
         ],
         axis=-1,
     )
@@ -412,11 +438,11 @@ def sample_nonthermal_electron(key, subgroup, ph_p, cfg):
     gamma = sample_nonthermal_gamma_range(k_g, g_lo, g_hi, cfg)
     beta = jnp.sqrt(jnp.maximum(1.0 - 1.0 / (gamma * gamma), 0.0))
     phi = jax.random.uniform(k_phi, gamma.shape, dtype=dtype, maxval=2.0 * jnp.pi)
-    theta = sample_electron_theta(k_th, beta)
+    cos_t = sample_electron_cos_theta(k_th, beta)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
     gb = gamma * beta
     el_p = jnp.stack(
-        [gamma, gb * jnp.cos(theta), gb * jnp.sin(theta) * jnp.sin(phi),
-         gb * jnp.sin(theta) * jnp.cos(phi)],
+        [gamma, gb * cos_t, gb * sin_t * jnp.sin(phi), gb * sin_t * jnp.cos(phi)],
         axis=-1,
     )
     return rotate_electron_to_photon_frame(el_p, ph_p)

@@ -113,3 +113,30 @@ def rotate_about_x(v, angle):
     y = c * v[..., 1] - s * v[..., 2]
     z = s * v[..., 1] + c * v[..., 2]
     return jnp.stack([v[..., 0], y, z], axis=-1)
+
+
+# --- cos/sin-parameterized rotations -----------------------------------------
+# The hot transport path never needs the *angles* themselves, only their
+# cosines/sines, which are available directly from vector components.  These
+# variants skip the atan2 -> cos/sin round trip (3 transcendentals per use).
+
+
+def rotate_about_z_cs(v, c, s):
+    """rotate_about_z with the angle given as (cos, sin)."""
+    x = c * v[..., 0] - s * v[..., 1]
+    y = s * v[..., 0] + c * v[..., 1]
+    return jnp.stack([x, y, v[..., 2]], axis=-1)
+
+
+def rotate_about_y_cs(v, c, s):
+    """rotate_about_y with the angle given as (cos, sin)."""
+    x = c * v[..., 0] - s * v[..., 2]
+    z = s * v[..., 0] + c * v[..., 2]
+    return jnp.stack([x, v[..., 1], z], axis=-1)
+
+
+def rotate_about_x_cs(v, c, s):
+    """rotate_about_x with the angle given as (cos, sin)."""
+    y = c * v[..., 1] - s * v[..., 2]
+    z = s * v[..., 1] + c * v[..., 2]
+    return jnp.stack([v[..., 0], y, z], axis=-1)

@@ -352,13 +352,13 @@ def _tau_rate(cfg: Config, frame: HydroFrame, photons: Photons, cell, xsec_table
 
     safe = jnp.clip(cell, 0, frame.num_elements - 1)
     if rows is None:
-        rows = frame.packed[safe] if frame.packed is not None else None
+        rows = frame.packed[:, safe] if frame.packed is not None else None
     if rows is not None:
         fluid_beta = fluid_beta_from_rows(cfg, rows, photons.pos[:, 0], photons.pos[:, 1])
-        gam = rows[:, PCOL["gamma"]]
-        dens_lab = rows[:, PCOL["dens_lab"]]
-        temp = rows[:, PCOL["temp"]]
-        nt_dens = rows[:, PCOL["nonthermal_dens"]]
+        gam = rows[PCOL["gamma"]]
+        dens_lab = rows[PCOL["dens_lab"]]
+        temp = rows[PCOL["temp"]]
+        nt_dens = rows[PCOL["nonthermal_dens"]]
     else:
         fluid_beta = frame.fluid_beta_at(cfg, safe, photons.pos[:, 0], photons.pos[:, 1])
         gam = frame.gamma[safe]
@@ -438,14 +438,15 @@ def transport_rounds(
     dtype = photons.p.dtype
     cap = photons.capacity
     round_cap = max_rounds if max_rounds > 0 else cfg.max_rounds_per_frame
+    use_rows = frame.packed is not None
 
     def cond(carry):
-        ph, t_rem, key, n_scatt, rounds = carry
+        ph, rows, t_rem, key, n_scatt, rounds = carry
         active = ph.alive & (t_rem > 0)
         return jnp.any(active) & (rounds < round_cap)
 
     def body(carry):
-        ph, t_rem, key, n_scatt, rounds = carry
+        ph, rows, t_rem, key, n_scatt, rounds = carry
         key, k_mfp, k_el, k_sc = jax.random.split(key, 4)
         active = ph.alive & (t_rem > 0)
         # CS pool photons scatter in place but never move (the reference
@@ -453,13 +454,16 @@ def transport_rounds(
         # they still compete in the candidate queue)
         is_pool = ph.ptype == PhotonType.CS_POOL
 
-        # 1. containing cell (cached fast path + index search)
-        cell, _ = find_cell(cfg, index, frame, ph.pos, ph.cell)
-        in_grid = cell >= 0
+        # 1.+2. containing cell and its packed property row.  The row is
+        # carried across rounds, so the steady state (photon stays in its
+        # cell) does zero gathers and zero index searches.
+        if use_rows:
+            from .grid import find_cell_rows
 
-        # 2. one packed-row gather serves tau, fluid velocity, and temperature
-        safe_cell = jnp.clip(cell, 0, frame.num_elements - 1)
-        rows = frame.packed[safe_cell] if frame.packed is not None else None
+            cell, rows, in_grid = find_cell_rows(cfg, index, frame, ph.pos, ph.cell, rows)
+        else:
+            cell, _ = find_cell(cfg, index, frame, ph.pos, ph.cell)
+            in_grid = cell >= 0
         rate, fluid_beta, tau_aux = _tau_rate(cfg, frame, ph, cell, xsec_table, rows=rows)
         comv_p = lorentz_boost(fluid_beta, ph.p, photon=True)
         ph = ph.replace(
@@ -486,10 +490,10 @@ def transport_rounds(
         t_rem = t_rem - dt
 
         # 5. attempt the scattering for candidates (null collision on reject)
-        if rows is not None:
+        if use_rows:
             from .grid import PCOL
 
-            temp = rows[:, PCOL["temp"]]
+            temp = rows[PCOL["temp"]]
         else:
             temp = frame.temp[jnp.clip(ph.cell, 0, frame.num_elements - 1)]
         if stokes_on:
@@ -535,14 +539,21 @@ def transport_rounds(
             num_scatt=ph.num_scatt + scattered.astype(dtype),
             ptype=new_type,
         )
-        n_scatt = n_scatt + jnp.sum(scattered)
-        return ph, t_rem, key, n_scatt, rounds + 1
+        n_scatt = n_scatt + jnp.sum(scattered).astype(n_scatt.dtype)
+        return ph, rows, t_rem, key, n_scatt, rounds + 1
 
-    ph, t_rem, _, n_scatt, rounds = jax.lax.while_loop(
+    if use_rows:
+        from .grid import gather_rows
+
+        rows0 = gather_rows(frame, photons.cell)
+    else:
+        rows0 = None
+    ph, _, t_rem, _, n_scatt, rounds = jax.lax.while_loop(
         cond,
         body,
         (
             photons,
+            rows0,
             jnp.asarray(t_rem, dtype),
             key,
             jnp.zeros((), jnp.int64 if dtype == jnp.float64 else jnp.int32),
