@@ -80,10 +80,16 @@ def get_hydro_data(
             min_r, max_r, min_theta, max_theta,
         )
     elif cfg.sim_switch is HydroSim.RIKEN:
-        host = riken.read_riken_2d(
-            cfg, paths.filepath, frame, fps, r_inj, ph_inj_switch,
-            min_r, max_r, min_theta, max_theta,
-        )
+        if cfg.dims is Dims.THREE:
+            host = riken.read_riken_3d(
+                cfg, paths.filepath, frame, fps, r_inj, ph_inj_switch,
+                min_r, max_r,
+            )
+        else:
+            host = riken.read_riken_2d(
+                cfg, paths.filepath, frame, fps, r_inj, ph_inj_switch,
+                min_r, max_r, min_theta, max_theta,
+            )
     else:
         raise ValueError(cfg.sim_switch)
 

@@ -309,3 +309,85 @@ def test_checkpoint_roundtrip_and_scan(tmp_path):
     items = ckpt.scan_checkpoints(str(tmp_path), last_frame=900)
     ranks = [w.old_rank for w in items]
     assert 3 in ranks and 7 not in ranks
+
+
+# ---------------------------------------------------------------------------
+# RIKEN 3-D reader
+
+
+def _write_riken_var(path, idx_1based, data_f32):
+    """Fortran-unformatted layout of mclib_riken.c:464-476: record marker,
+    six int32 slice indexes (1-based), two floats, float32 data."""
+    with open(path, "wb") as f:
+        np.float32(0.0).tofile(f)
+        np.asarray(idx_1based, dtype=np.int32).tofile(f)
+        np.zeros(2, dtype=np.float32).tofile(f)
+        np.asarray(data_f32, dtype=np.float32).tofile(f)
+
+
+def test_riken_3d_reader(tmp_path):
+    from mcrat_tpu.io import riken
+
+    prefix = str(tmp_path) + "/"
+    nr, nt, nphi = 6, 3, 2
+    r_lo, t_lo, p_lo = 1, 0, 0  # 0-based slice starts
+    frame = 1500  # -> radial remapping segment 1 (mclib_riken.c:676-682)
+    assert riken.riken_radial_segment(frame) == 1
+
+    # radial grid file holds the full segment; only [r_lo, r_lo+nr) is read
+    r_all = 1e10 * (1.0 + 0.05 * np.arange(10))
+    np.savetxt(tmp_path / "grid01-x1.data", r_all[None], delimiter=", ")
+    th_all = np.linspace(0.3, 0.5, nt)
+    np.savetxt(tmp_path / "grid-x2.data", th_all[None], delimiter=", ")
+    phi_all = np.array([0.25, 1.75])
+    np.savetxt(tmp_path / "grid-x3.data", phi_all[None], delimiter=", ")
+
+    idx = [p_lo + 1, p_lo + nphi, t_lo + 1, t_lo + nt, r_lo + 1, r_lo + nr]
+    n = nphi * nt * nr
+    rng = np.random.default_rng(7)
+    dens = rng.uniform(1e-9, 1e-7, n)
+    v_r = rng.uniform(0.1, 0.9, n)
+    v_t = rng.uniform(-0.05, 0.05, n)
+    v_p = rng.uniform(-0.05, 0.05, n)
+    pres = rng.uniform(1e2, 1e4, n)  # file units: p / c^2
+    for var, data in ((1, dens), (2, v_r), (3, v_t), (4, v_p), (8, pres)):
+        _write_riken_var(
+            tmp_path / f"u0{var}-{frame:05d}small.data", idx, data
+        )
+
+    cfg = Config(
+        sim_switch=HydroSim.RIKEN, dims=Dims.THREE, geometry=Geometry.SPHERICAL,
+        dtype="float64",
+    )
+    host = riken.read_riken_3d(
+        cfg, prefix, frame, fps=5.0, r_inj=float(r_all[3]), ph_inj_switch=True
+    )
+    # c/fps = 6e9 covers the whole 1e10-wide grid: nothing decimated
+    assert host.num_elements == n
+
+    f32 = lambda a: np.asarray(a, dtype=np.float32).astype(np.float64)
+    # layout: phi slowest, theta, r fastest (mclib_riken.c:880)
+    k = 2 + nt * nr  # r index 2, theta 0, phi 1
+    assert host.r0[k] == pytest.approx(r_all[r_lo + 2])
+    assert host.r1[k] == pytest.approx(th_all[0])
+    assert host.r2[k] == pytest.approx(phi_all[1])
+    np.testing.assert_allclose(host.dens, f32(dens))
+    np.testing.assert_allclose(host.pres, f32(pres) * cfg.hydro_p_scale, rtol=1e-12)
+    # derived: gamma from all three velocity components (mclib_riken.c:888)
+    g = 1.0 / np.sqrt(1.0 - (f32(v_r) ** 2 + f32(v_t) ** 2 + f32(v_p) ** 2))
+    np.testing.assert_allclose(host.gamma, g, rtol=1e-12)
+    np.testing.assert_allclose(host.dens_lab, f32(dens) * g, rtol=1e-12)
+    # radial widths come from the remapped analytic recurrence
+    dr = riken.riken_radial_widths()
+    assert host.dr0[k] == pytest.approx(dr[riken.REMAP_STRIDE_3D + r_lo + 2])
+    assert host.dr1[k] == pytest.approx(np.pi / 560)
+    # jet axis is +y: spherical cache holds theta' = acos(sin th sin phi)
+    expect = np.arccos(np.sin(th_all[0]) * np.sin(phi_all[1]))
+    assert host.theta[k] == pytest.approx(expect)
+
+
+def test_riken_frame_schedule():
+    from mcrat_tpu.io.riken import riken_frame_schedule
+
+    assert riken_frame_schedule(100, 10.0) == (1, 10.0)
+    assert riken_frame_schedule(3000, 10.0) == (10, 1.0)
