@@ -391,3 +391,57 @@ def test_riken_frame_schedule():
 
     assert riken_frame_schedule(100, 10.0) == (1, 10.0)
     assert riken_frame_schedule(3000, 10.0) == (10, 1.0)
+
+
+def test_riken_2d_reader(tmp_path):
+    from mcrat_tpu.io import riken
+
+    prefix = str(tmp_path) + "/"
+    nr, nt = 5, 3
+    r_lo, t_lo = 2, 1  # 0-based slice starts
+    frame = 37
+
+    r_all = 1e10 * (1.0 + 0.1 * np.arange(12))
+    np.savetxt(tmp_path / "grid-x1.data", r_all[None], delimiter=", ")
+    th_all = np.linspace(0.1, 0.6, 8)
+    np.savetxt(tmp_path / "grid-x2.data", th_all[None], delimiter=", ")
+
+    # header order: phi_min, phi_max, theta_min, theta_max, r_min, r_max
+    idx = [1, 1, t_lo + 1, t_lo + nt, r_lo + 1, r_lo + nr]
+    n = nt * nr
+    rng = np.random.default_rng(11)
+    dens = rng.uniform(1e-9, 1e-7, n)
+    v_r = rng.uniform(0.1, 0.8, n)
+    v_t = rng.uniform(-0.05, 0.05, n)
+    pres = rng.uniform(1e2, 1e4, n)
+    for var, data in ((1, dens), (2, v_r), (3, v_t), (8, pres)):
+        _write_riken_var(tmp_path / f"u0{var}-{frame:04d}small.data", idx, data)
+
+    cfg = Config(
+        sim_switch=HydroSim.RIKEN, dims=Dims.TWO, geometry=Geometry.SPHERICAL,
+        dtype="float64",
+    )
+    # injection-mode decimation keeps cells with r > 0.95 r_inj
+    # (decimate.decimation_mask; reference: mclib_flash.c:318-322)
+    r_inj = float(r_all[r_lo])
+    host = riken.read_riken_2d(
+        cfg, prefix, frame, fps=1.0, r_inj=r_inj, ph_inj_switch=True,
+    )
+    assert host.num_elements == n  # the whole slice sits above 0.95 r_inj
+
+    f32 = lambda a: np.asarray(a, dtype=np.float32).astype(np.float64)
+    # layout: r fastest within each theta row (mclib_riken.c:204-210)
+    k = 3 + 1 * nr  # r index 3, theta index 1
+    assert host.r0[k] == pytest.approx(r_all[r_lo + 3])
+    assert host.r1[k] == pytest.approx(th_all[t_lo + 1])
+    np.testing.assert_allclose(host.dens, f32(dens))
+    g = 1.0 / np.sqrt(1.0 - (f32(v_r) ** 2 + f32(v_t) ** 2))
+    np.testing.assert_allclose(host.gamma, g, rtol=1e-12)
+
+    # deeper injection radius decimates the low-r rows away
+    host2 = riken.read_riken_2d(
+        cfg, prefix, frame, fps=1.0, r_inj=float(r_all[r_lo + 2]),
+        ph_inj_switch=True,
+    )
+    expect = int((r_all[r_lo : r_lo + nr] > 0.95 * r_all[r_lo + 2]).sum()) * nt
+    assert host2.num_elements == expect
