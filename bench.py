@@ -60,7 +60,11 @@ def main():
     rng = np.random.default_rng(0)
     arrays, _ = transport.inject_photons(
         host, r_inj=2e12, ph_weight=1e50,
-        min_photons=60_000, max_photons=140_000,
+        # ~1M photons saturates the chip (throughput plateaus: 3.0M scatt/s at
+        # 64k lanes, 7.6M at 1M, 7.4M at 2M); this is also a realistic
+        # production per-chip batch (the reference's whole Lundman validation
+        # run was ~6e5 photons, Doc/mcrat_doc.tex:553)
+        min_photons=600_000, max_photons=1_400_000,
         spect=Spectrum.BLACKBODY, theta_min=0.0, theta_max=np.pi / 30,
         fps=5.0, rng=rng,
     )
