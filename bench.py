@@ -70,7 +70,8 @@ def main():
     )
     photons, _ = transport.photons_from_arrays(arrays, capacity=None, dtype=jnp.float32)
     frame = host.to_device(dtype=jnp.float32)
-    key = jax.random.PRNGKey(0)
+    from mcrat_tpu.ops.rng import make_key
+    key = make_key(0)
     dt_max = jnp.float32(1.0 / 5.0)
 
     # warm-up: full frame once — compiles the transport kernel for every
@@ -83,7 +84,7 @@ def main():
     # timed run, chunked so each device execution stays under RPC limits
     t0 = time.perf_counter()
     res = transport.transport_frame(
-        cfg, photons, frame, idx, dt_max, jax.random.PRNGKey(1), chunk_rounds=64
+        cfg, photons, frame, idx, dt_max, make_key(1), chunk_rounds=64
     )
     jax.block_until_ready(res.photons)
     elapsed = time.perf_counter() - t0

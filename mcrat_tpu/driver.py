@@ -26,6 +26,7 @@ from typing import Callable, Optional, Sequence
 import jax
 import numpy as np
 
+from .ops.rng import make_key
 from .config import Config, McPar, PhotonType, SimType
 from .constants import C_LIGHT
 from .grid import HydroFrameHost
@@ -156,7 +157,7 @@ def run_rank(
     base_dir = base_dir or os.path.join(paths.filepath, paths.mc_path)
     work = decompose_work(par, rank, num_ranks, base_dir)
     os.makedirs(work.mc_dir, exist_ok=True)
-    key = key if key is not None else jax.random.PRNGKey(1234 + rank)
+    key = key if key is not None else make_key(1234 + rank)
     rng = np.random.default_rng(9876 + rank)
     dtype = cfg.np_dtype()
     last_frm = last_frame_override or par.last_frame

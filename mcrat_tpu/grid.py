@@ -93,27 +93,54 @@ class HydroFrame:
         return jnp.stack([bx, by, bz], axis=-1)
 
 
-# Row layout of HydroFrame.packed (padded to 16 for clean TPU sublane tiling)
+# Row layout of HydroFrame.packed (padded to 16 for clean TPU sublane tiling).
+# For 3-D configs v0..v2 hold the fluid velocity ALREADY in MCRaT Cartesian
+# (it is per-cell constant there, so to_device pre-transforms it); in 2-D/2.5-D
+# they stay in the hydro basis and the azimuth comes from the photon position.
+# sin1/cos1 cache sin/cos of the cell's angular r1 coordinate so the 2-D
+# spherical hot path needs no per-photon trig.
 PCOL = dict(
     r0=0, r1=1, r2=2, dr0=3, dr1=4, dr2=5,
     v0=6, v1=7, v2=8, gamma=9, dens_lab=10, temp=11, nonthermal_dens=12,
+    sin1=13, cos1=14,
 )
 PACKED_WIDTH = 16
 
 
 def fluid_beta_from_rows(cfg: Config, rows, ph_x, ph_y):
-    """Fluid 3-velocity in MCRaT Cartesian from gathered packed columns (16, N)."""
+    """Fluid 3-velocity in MCRaT Cartesian from gathered packed columns (16, N).
+
+    Transcendental-free version of the reference's per-lookup
+    hydroVectorToCartesian call (Src/mclib.c:546-555): the photon azimuth
+    enters only through cos/sin, taken directly from the position components
+    (cos phi = x/rho, sin phi = y/rho), and the cell's angular coordinate trig
+    is precomputed in the packed rows.
+    """
     v0 = rows[PCOL["v0"]]
     v1 = rows[PCOL["v1"]]
-    v2 = rows[PCOL["v2"]] if cfg.dims is not Dims.TWO else jnp.zeros_like(v0)
     if cfg.dims is Dims.THREE:
-        x2 = rows[PCOL["r2"]]
-    else:
-        x2 = jnp.arctan2(ph_y, ph_x)
-    bx, by, bz = geo.hydro_vector_to_cartesian(
-        cfg, v0, v1, v2, rows[PCOL["r0"]], rows[PCOL["r1"]], x2
-    )
-    return jnp.stack([bx, by, bz], axis=-1)
+        # already Cartesian (pre-transformed in to_device)
+        return jnp.stack([v0, v1, rows[PCOL["v2"]]], axis=-1)
+    v2 = rows[PCOL["v2"]] if cfg.dims is not Dims.TWO else jnp.zeros_like(v0)
+    rho = jnp.sqrt(ph_x * ph_x + ph_y * ph_y)
+    has_rho = rho > 0
+    safe_rho = jnp.where(has_rho, rho, 1.0)
+    c2 = jnp.where(has_rho, ph_x / safe_rho, 1.0)
+    s2 = jnp.where(has_rho, ph_y / safe_rho, 0.0)
+    g = cfg.geometry
+    if g in (Geometry.CARTESIAN, Geometry.CYLINDRICAL):
+        # 2-D: (v_r, v_z); 2.5-D adds a phi-hat component v2
+        # (reference: Src/geometry.c:199-204, 214-218)
+        return jnp.stack([v0 * c2 - v2 * s2, v0 * s2 + v2 * c2, v1], axis=-1)
+    if g is Geometry.SPHERICAL:
+        s1 = rows[PCOL["sin1"]]
+        c1 = rows[PCOL["cos1"]]
+        vr_plane = v0 * s1 + v1 * c1  # component in the (x, y) plane
+        return jnp.stack(
+            [vr_plane * c2 - v2 * s2, vr_plane * s2 + v2 * c2, v0 * c1 - v1 * s1],
+            axis=-1,
+        )
+    raise ValueError(f"unsupported 2-D geometry {g}")
 
 
 def frame_from_numpy(cfg: Config, arrays: dict, domain=None) -> "HydroFrameHost":
@@ -228,12 +255,22 @@ class HydroFrameHost:
             return jnp.asarray(np.asarray(a), dtype=dt)
 
         packed = np.zeros((PACKED_WIDTH, n))
+        if self.cfg.dims is Dims.THREE:
+            # 3-D: the Cartesian fluid velocity is per-cell constant, so the
+            # hot path never needs a coordinate transform — pre-apply it here.
+            vx, vy, vz = geo.hydro_vector_to_cartesian(
+                self.cfg, self.v0, self.v1, self.v2, self.r0, self.r1, self.r2
+            )
+            pv0, pv1, pv2 = np.asarray(vx), np.asarray(vy), np.asarray(vz)
+        else:
+            pv0, pv1, pv2 = self.v0, self.v1, self.v2
         cols = dict(
             r0=self.r0, r1=self.r1, r2=self.r2,
             dr0=self.dr0, dr1=self.dr1, dr2=self.dr2,
-            v0=self.v0, v1=self.v1, v2=self.v2,
+            v0=pv0, v1=pv1, v2=pv2,
             gamma=self.gamma, dens_lab=self.dens_lab, temp=self.temp,
             nonthermal_dens=nt,
+            sin1=np.sin(self.r1), cos1=np.cos(self.r1),
         )
         for name, val in cols.items():
             packed[PCOL[name], :] = val

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from .fourvec import lorentz_boost, rotate_about_y_cs, rotate_about_z_cs
 from .rng import batched_rejection
-from .stokes import Z_HAT, fano_scatter_stokes, find_phi, find_xy, mueller_rotate, stokes_rotation
+from .stokes import Z_HAT, fano_scatter_stokes, rotate_basis_vectors, stokes_rotation
 
 
 def kn_cross_section(energy_ratio):
@@ -39,7 +39,7 @@ def kn_cross_section(energy_ratio):
     return jnp.where(e >= 1e-3, full, 1.0 - 2.0 * e)
 
 
-def sample_kn_angles_cs(key, e0, q, u, stokes_on: bool, max_iters: int = 24):
+def sample_kn_angles_cs(key, e0, q, u, stokes_on: bool, max_iters: int = 16):
     """Sample scattering angles from the polarized KN differential cross
     section, returned as (cos t, sin t, cos phi, sin phi).
 
@@ -96,12 +96,13 @@ def sample_kn_angles_cs(key, e0, q, u, stokes_on: bool, max_iters: int = 24):
         safe_norm = jnp.where(norm != 0, norm, 1.0)
 
     def propose_phi(k):
-        k1, k2 = jax.random.split(k)
-        xy = jax.random.uniform(k1, shape + (2,), dtype=dtype, minval=-1.0, maxval=1.0)
-        y_acc = jax.random.uniform(k2, shape, dtype=dtype)
-        return (xy[..., 0], xy[..., 1], y_acc)
+        xy = jax.random.uniform(k, shape + (2,), dtype=dtype, minval=-1.0, maxval=1.0)
+        return (xy[..., 0], xy[..., 1])
 
-    def accept_phi(x, y, y_acc):
+    def accept_phi(x, y):
+        # For (x, y) uniform in the unit disk, r^2 is Uniform(0, 1) and
+        # independent of the angle, so it doubles as the acceptance variate —
+        # no third random word needed.
         r2 = x * x + y * y
         in_disk = (r2 <= 1.0) & (r2 > jnp.finfo(dtype).tiny)
         if not stokes_on:
@@ -110,14 +111,14 @@ def sample_kn_angles_cs(key, e0, q, u, stokes_on: bool, max_iters: int = 24):
         c2 = (x * x - y * y) / safe_r2
         s2 = (2.0 * x * y) / safe_r2
         f = (f_theta + pol_amp * (q * c2 - u * s2)) / safe_norm
-        return in_disk & (unpolarized | (y_acc < f))
+        return in_disk & (unpolarized | (r2 < f))
 
-    x, y, _ = batched_rejection(
+    x, y = batched_rejection(
         k_phi,
         shape,
         propose_phi,
         accept_phi,
-        init=(jnp.ones(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)),
+        init=(jnp.ones(shape, dtype), jnp.zeros(shape, dtype)),
         max_iters=max_iters,
     )
     inv_r = 1.0 / jnp.sqrt(jnp.maximum(x * x + y * y, jnp.finfo(dtype).tiny))
@@ -213,18 +214,14 @@ def single_scatter(key, el_p, ph_p, s, stokes_on: bool = True) -> ScatterResult:
         z = jnp.broadcast_to(Z_HAT.astype(dtype), ph_orig_vec.shape)
         # Rotate the Stokes basis into the k0-k scattering plane
         # (reference: mcrat_scattering.c:402-405).
-        x_t, y_t = find_xy(ph_orig_vec, z)
-        x_n, y_n = find_xy(scat_vec, ph_orig_vec)
-        s_work2 = mueller_rotate(find_phi(x_t, y_t, x_n, y_n), s_work)
+        s_work2 = rotate_basis_vectors(ph_orig_vec, z, scat_vec, ph_orig_vec, s_work)
         # Scattering angle from the actual vectors (reference: :408).
         cos_sc = jnp.sum(ph_orig_vec * scat_vec, axis=-1) / jnp.maximum(e0 * e1, jnp.finfo(e0.dtype).tiny)
         cos_sc = jnp.clip(cos_sc, -1.0, 1.0)
         s_work2 = fano_scatter_stokes(s_work2, e0, e1, cos_sc)
         # Rotate from the scattering plane back to the z-hat basis
         # (reference: :438-447).
-        x_t2, y_t2 = find_xy(scat_vec, ph_orig_vec)
-        x_n2, y_n2 = find_xy(scat_vec, z)
-        s_work2 = mueller_rotate(find_phi(x_t2, y_t2, x_n2, y_n2), s_work2)
+        s_work2 = rotate_basis_vectors(scat_vec, ph_orig_vec, scat_vec, z, s_work2)
     else:
         s_work2 = s_work
 

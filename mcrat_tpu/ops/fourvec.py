@@ -74,9 +74,14 @@ def gamma_from_beta_vec(beta):
 
 
 def normalize(v, eps=0.0):
-    """Unit vectors along trailing axis."""
-    n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
-    return v / jnp.maximum(n, jnp.asarray(eps if eps else jnp.finfo(v.dtype).tiny, v.dtype))
+    """Unit vectors along trailing axis (rsqrt-mul: one reciprocal square root
+    instead of a sqrt plus three divides)."""
+    import jax
+
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    floor = jnp.asarray(eps * eps if eps else jnp.finfo(v.dtype).tiny, v.dtype)
+    inv = jax.lax.rsqrt(jnp.maximum(n2, floor))
+    return v * jnp.where(n2 > 0, inv, 0.0)
 
 
 def cross(a, b):

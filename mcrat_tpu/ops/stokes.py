@@ -11,6 +11,7 @@ direction vectors are ``(..., 3)``.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .fourvec import normalize
@@ -25,10 +26,8 @@ def find_xy(v_ph, ref):
     y = normalize(ref x v_ph)  [the C code computes vector X v_ph component-wise],
     x = normalize(y x v_ph).
     """
-    y = jnp.cross(ref, v_ph)
-    y = normalize(y)
-    x = jnp.cross(y, v_ph)
-    x = normalize(x)
+    y = normalize(jnp.cross(ref, v_ph))
+    x = normalize(jnp.cross(y, v_ph))
     return x, y
 
 
@@ -61,6 +60,70 @@ def mueller_rotate(theta, s):
     )
 
 
+def mueller_rotate_cs(c2, s2, s):
+    """Mueller rotation with (cos 2theta, sin 2theta) given directly."""
+    q = s[..., 1]
+    u = s[..., 2]
+    return jnp.stack(
+        [s[..., 0], c2 * q - s2 * u, s2 * q + c2 * u, s[..., 3]], axis=-1
+    )
+
+
+def rotate_basis_vectors(v_old, ref_old, v_new, ref_new, s):
+    """Stokes rotation between the bases defined by (v_old, ref_old) and
+    (v_new, ref_new) without constructing the bases.
+
+    Algebraic collapse of
+        rotate_basis(*find_xy(v_old, ref_old), *find_xy(v_new, ref_new), s):
+    with A = ref_old x v_old (∝ y_old) and B = ref_new x v_new (∝ y_new),
+
+        d_yy = (A . B) / (|A| |B|),   sign factor f = sign((A x v_old) . B)
+
+    since x_old ∝ (ref_old x v_old) x v_old.  Three cross products, three dots
+    and one rsqrt replace eight cross products and eight normalizations
+    (8 sqrt + 24 divides) — this chain runs 4+ times per transport round.
+    Degenerate bases (v parallel to ref, so A or B vanishes) give d = 0 and
+    f = 0, reducing to the identity exactly like find_phi's sign(0) = 0 path.
+    """
+    a = jnp.cross(ref_old, v_old)
+    b = jnp.cross(ref_new, v_new)
+    dot_ab = jnp.sum(a * b, axis=-1)
+    n2 = jnp.sum(a * a, axis=-1) * jnp.sum(b * b, axis=-1)
+    d = jnp.clip(
+        dot_ab * jax.lax.rsqrt(jnp.maximum(n2, jnp.finfo(s.dtype).tiny)),
+        -1.0,
+        1.0,
+    )
+    d = jnp.where(n2 > 0, d, 0.0)
+    f = jnp.sign(jnp.sum(jnp.cross(a, v_old) * b, axis=-1))
+    c2 = jnp.where(f == 0, 1.0, 2.0 * d * d - 1.0)
+    s2 = -f * 2.0 * d * jnp.sqrt(jnp.maximum(1.0 - d * d, 0.0))
+    return mueller_rotate_cs(c2, s2, s)
+
+
+def rotate_basis(x_old, y_old, x_new, y_new, s):
+    """Rotate Stokes vectors between two bases: mueller_rotate(find_phi(...), s)
+    without the arccos -> cos/sin round trip.
+
+    With d = clip(y_old . y_new) and sign f = sign(x_old . y_new), find_phi
+    returns theta = -f acos(d) (reference: Src/mcrat_scattering.c:67-101), so
+
+        cos 2theta = 2 d^2 - 1
+        sin 2theta = -f * 2 d sqrt(1 - d^2)
+
+    — three transcendentals replaced by one sqrt per rotation, on the hottest
+    polarization path (6+ rotations per transport round).
+    """
+    d_xy = jnp.sum(x_old * y_new, axis=-1)
+    d = jnp.clip(jnp.sum(y_old * y_new, axis=-1), -1.0, 1.0)
+    f = jnp.sign(d_xy)
+    # f == 0 (degenerate basis, e.g. zero-velocity boost) must reduce to the
+    # identity exactly as find_phi's theta = -0 * acos(d) = 0 does.
+    c2 = jnp.where(f == 0, 1.0, 2.0 * d * d - 1.0)
+    s2 = -f * 2.0 * d * jnp.sqrt(jnp.maximum(1.0 - d * d, 0.0))
+    return mueller_rotate_cs(c2, s2, s)
+
+
 def stokes_rotation(boost, v_ph, v_ph_boosted, s):
     """Rotate Stokes vectors through a Lorentz boost.
 
@@ -71,12 +134,8 @@ def stokes_rotation(boost, v_ph, v_ph_boosted, s):
     basis in the boosted frame.
     """
     z = jnp.broadcast_to(Z_HAT.astype(s.dtype), v_ph.shape)
-    x0, y0 = find_xy(v_ph, z)
-    x1, y1 = find_xy(v_ph, boost)
-    s = mueller_rotate(find_phi(x0, y0, x1, y1), s)
-    x2, y2 = find_xy(v_ph_boosted, boost)
-    x3, y3 = find_xy(v_ph_boosted, z)
-    s = mueller_rotate(find_phi(x2, y2, x3, y3), s)
+    s = rotate_basis_vectors(v_ph, z, v_ph, boost, s)
+    s = rotate_basis_vectors(v_ph_boosted, boost, v_ph_boosted, z, s)
     return s
 
 

@@ -50,12 +50,18 @@ def test_depaola_azimuthal_modulation():
     sel = sc & (cos_T < np.cos(np.radians(85))) & (cos_T > np.cos(np.radians(90)))
     eta = np.arctan2(kn[sel, 2], kn[sel, 1])  # azimuth from y_hat (the pol vector)
 
-    # analytic target at the mean polar angle of the band
+    # analytic target at the mean polar angle of the band, with the pdf
+    # *integrated over each bin*: near the sharp minima (eta = 0, +/-pi) the
+    # quadratic pdf's bin average exceeds its bin-center value by ~50%, so a
+    # center-sampled comparison has an O(1) systematic there.
+    # Integral of cos^2 eta over a bin = w/2 + (sin 2b - sin 2a)/4.
     T = np.arccos(cos_T[sel]).mean()
     ratio = 1.0 / (1.0 + e0 * (1.0 - np.cos(T)))  # e/e0
     grid = np.linspace(-np.pi, np.pi, 25)
     centers = 0.5 * (grid[:-1] + grid[1:])
-    pdf = ratio**2 * (ratio + 1.0 / ratio - 2.0 * np.sin(T) ** 2 * np.cos(centers) ** 2)
+    w = grid[1] - grid[0]
+    cos2_bin = 0.5 + (np.sin(2.0 * grid[1:]) - np.sin(2.0 * grid[:-1])) / (4.0 * w)
+    pdf = ratio**2 * (ratio + 1.0 / ratio - 2.0 * np.sin(T) ** 2 * cos2_bin)
     pdf = pdf / pdf.sum()
     hist, _ = np.histogram(eta, bins=grid)
     frac = hist / hist.sum()
