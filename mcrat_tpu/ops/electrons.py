@@ -18,7 +18,7 @@ from .fourvec import rotate_about_x_cs, rotate_about_y_cs
 from .rng import batched_rejection, uniform_pos
 
 
-def sample_thermal_gamma_beta(key, temp, max_iters: int = 16):
+def sample_thermal_gamma_beta(key, temp, max_iters: int = 12):
     """Sample (gamma, gamma*beta) from an exact Maxwell-Juttner at ``temp`` [K].
 
     Replaces the reference's sampler (sampleThermalElectron, Src/electron.c:
@@ -33,18 +33,20 @@ def sample_thermal_gamma_beta(key, temp, max_iters: int = 16):
 
         f(xi) ∝ (1 + a) sqrt(a (2 + a)) e^-xi,   a = theta xi,
 
-    and bounded (tight at a = 1, exact inequality (1+a)^{3/2} <= sqrt(2)
-    (1 + a^{3/2})) by the two-part envelope
+    and bounded by the pure-Gamma mixture envelope (chain of exact
+    inequalities (1+a)^{3/2} <= sqrt(2)(1 + a^{3/2}), then
+    2 sqrt(xi) <= 1 + xi):
 
-        2 sqrt(theta) (sqrt(xi) + theta^{3/2} xi^2) e^-xi,
+        E(xi) = [ sqrt(theta) (1 + xi) + 2 theta^2 xi^2 ] e^-xi,
 
-    i.e. a mixture of Gamma(3/2) and Gamma(3) — both exactly samplable
-    (z^2/2 + Exp and the sum of three Exp).  The acceptance ratio needs no
-    exp, log, or Bessel evaluation, and equals K2e(1/theta) / (sqrt(pi theta)
-    + 4 theta^2) in [0.5, 0.78] for ALL theta: the Gamma(3/2) limit *is* the
-    nonrelativistic Maxwell-Boltzmann (making the reference's separate
-    three-Gaussian branch unnecessary), the Gamma(3) limit the ultra-
-    relativistic one.
+    a mixture of Exp(1), Gamma(2), Gamma(3) with weights
+    (1/2, 1/2, 2 theta^{3/2}) / (1 + 2 theta^{3/2}).  Every component is a
+    -log of a product of uniforms, so a trial needs five random words, ONE
+    log, and no normal draw (the previous envelope's Gamma(3/2) component
+    cost an erfinv per trial).  Acceptance is >= 0.44 for ALL theta (the
+    sqrt(pi theta)-mass MB limit keeps the nonrelativistic branch exact, the
+    Gamma(3) term the ultrarelativistic one), so 12 unrolled trials leave a
+    < 1e-3 worst-case fallback fraction.
 
     Returns (gamma, gamma*beta); the second form keeps full precision for
     nonrelativistic lanes where gamma - 1 ~ theta underflows in float32.
@@ -53,23 +55,24 @@ def sample_thermal_gamma_beta(key, temp, max_iters: int = 16):
     shape = temp.shape
     theta = jnp.maximum(KB_OVER_MEC2 * temp, jnp.finfo(dtype).tiny)
     sqrt_theta = jnp.sqrt(theta)
-    # mixture weight of the Gamma(3/2) component: mass sqrt(pi theta) vs the
-    # Gamma(3) component's 4 theta^2
-    w32 = jnp.sqrt(jnp.pi) / (jnp.sqrt(jnp.pi) + 4.0 * theta * sqrt_theta)
+    # cumulative mixture weights over (Exp(1), Gamma(2), Gamma(3))
+    m3 = 2.0 * theta * sqrt_theta
+    inv_mass = 1.0 / (1.0 + m3)
+    cum1 = 0.5 * inv_mass
+    cum2 = inv_mass  # cum1 + 0.5/mass
 
     def propose(k):
-        ku = jax.random.split(k, 2)
-        u = uniform_pos(ku[0], shape + (5,), dtype)
-        z = jax.random.normal(ku[1], shape, dtype)
-        xi_g3 = -jnp.log(u[..., 0] * u[..., 1] * u[..., 2])
-        xi_g32 = 0.5 * z * z - jnp.log(u[..., 0])
-        xi = jnp.where(u[..., 3] < w32, xi_g32, xi_g3)
+        u = uniform_pos(k, shape + (5,), dtype)
+        p2 = u[..., 0] * u[..., 1]
+        um = u[..., 3]
+        prod = jnp.where(um < cum1, u[..., 0], jnp.where(um < cum2, p2, p2 * u[..., 2]))
+        xi = -jnp.log(prod)
         return (xi, u[..., 4])
 
     def accept(xi, u_acc):
         a = theta * xi
         target = (1.0 + a) * jnp.sqrt(jnp.maximum(a * (2.0 + a), 0.0))
-        envelope = 2.0 * sqrt_theta * (jnp.sqrt(xi) + theta * sqrt_theta * xi * xi)
+        envelope = sqrt_theta * (1.0 + xi) + 2.0 * (theta * theta) * (xi * xi)
         return u_acc * envelope <= target
 
     xi, _ = batched_rejection(

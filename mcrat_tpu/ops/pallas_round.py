@@ -1,0 +1,647 @@
+"""Fused transport-round Pallas kernel.
+
+The XLA transport round (transport.transport_rounds) is memory-bound, not
+compute-bound: a `lax.while_loop` iteration materializes its carry and every
+fusion boundary's intermediates to HBM, which measures ~10 KB of traffic per
+photon-round — ~50x the photon's actual state.  This kernel runs K complete
+transport rounds per invocation with ALL state resident in VMEM:
+
+    tau-rate -> comoving boost -> free path -> move -> KN scatter -> Stokes
+
+The containing-cell search and packed-row gather stay OUTSIDE the kernel (the
+tunnel's Mosaic compiler has no reliable per-lane dynamic gather): a photon
+whose post-move position leaves its cached cell simply *stalls* — it stops
+participating in later in-kernel rounds and the XLA caller re-gathers its row
+via grid.find_cell_rows before the next invocation.  A scatter always uses the
+pre-move cell's properties, exactly like the XLA path (and the reference,
+which samples each free path from the starting cell and never stops photons at
+cell boundaries: Src/mclib.c:617-714, 1054-1100).
+
+Scope: thermal electrons + DIRECT tau (sigma_hat = 1); the nonthermal/TABLE
+paths fall back to the XLA implementation (transport.transport_rounds).
+Physics is a component-form transcription of ops.{fourvec,stokes,electrons,
+compton} — every formula cites its batched twin, and
+tests/test_pallas_round.py checks the two paths agree in distribution.
+
+Randomness is the per-core hardware PRNG (pltpu.prng_*), seeded per
+(block, invocation); the samplers draw the same trial counts as the XLA path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import Config, Dims, Geometry
+from ..constants import C_LIGHT, KB_OVER_MEC2, M_P, THOM_X_SECT
+
+# transport.DEFAULT_MFP duplicated to avoid a circular import
+_DEFAULT_MFP = 1e12
+
+LANES = 128
+
+# state plane layout (f32): lab p, position, Stokes q/u/v (I == 1), frame time
+# left, scatter count, comoving p
+SP_P0, SP_P1, SP_P2, SP_P3 = 0, 1, 2, 3
+SP_X, SP_Y, SP_Z = 4, 5, 6
+SP_Q, SP_U, SP_V = 7, 8, 9
+SP_TREM = 10
+SP_NS = 11
+SP_C0, SP_C1, SP_C2, SP_C3 = 12, 13, 14, 15
+N_STATE = 16
+
+# flags bit layout (int32)
+FLAG_ALIVE = 1
+FLAG_POOL = 2
+FLAG_INGRID = 4
+OUT_STALLED = 1
+OUT_PROMOTED = 2
+
+# row plane indices — MUST match grid.PCOL
+from ..grid import PCOL  # noqa: E402
+
+_TINY = 1e-37  # float32 tiny-ish floor, matches jnp.finfo(f32).tiny scale
+
+
+class _Rng:
+    """In-kernel uniform source.
+
+    On hardware it is the per-core TPU PRNG (pltpu.prng_*).  Interpret mode
+    (CPU tests) has no lowering for those primitives, so it falls back to a
+    counter-based murmur3-finalizer hash over (seed, call#, lane id) — a
+    statistically adequate stand-in that keeps kernel and tests identical in
+    structure.  Every uniform is a full (S, 128) draw either way.
+    """
+
+    def __init__(self, shape, interpret: bool):
+        self.shape = shape
+        self.interpret = interpret
+        self._calls = 0
+        self._base = None
+
+    def seed(self, seed_scalar, pid):
+        salt = pid * jnp.int32(1442695041)
+        if self.interpret:
+            lane = jax.lax.broadcasted_iota(jnp.int32, self.shape, 0) * self.shape[1]
+            lane = lane + jax.lax.broadcasted_iota(jnp.int32, self.shape, 1)
+            self._base = (
+                (seed_scalar + salt).astype(jnp.uint32)
+                + lane.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+            )
+        else:
+            pltpu.prng_seed(seed_scalar + salt)
+
+    def _bits(self):
+        if self.interpret:
+            self._calls += 1
+            x = self._base + jnp.uint32((self._calls * 0x85EBCA6B) & 0xFFFFFFFF)
+            x = x ^ (x >> 16)
+            x = x * jnp.uint32(0x7FEB352D)
+            x = x ^ (x >> 15)
+            x = x * jnp.uint32(0x846CA68B)
+            x = x ^ (x >> 16)
+            return x
+        return pltpu.bitcast(pltpu.prng_random_bits(self.shape), jnp.uint32)
+
+    def uniform(self):
+        bits = self._bits()
+        mant = (bits >> 9) | jnp.uint32(0x3F800000)
+        if self.interpret:
+            return jax.lax.bitcast_convert_type(mant, jnp.float32) - 1.0
+        return pltpu.bitcast(mant, jnp.float32) - 1.0
+
+    def uniform_pos(self):
+        return jnp.maximum(self.uniform(), _TINY)
+
+
+def _boost(bx, by, bz, p0, p1, p2, p3):
+    """Photon Lorentz boost, component form of ops.fourvec.lorentz_boost
+    (+ zero_norm)."""
+    b2 = bx * bx + by * by + bz * bz
+    safe_b2 = jnp.where(b2 > 0, b2, 1.0)
+    gam = jax.lax.rsqrt(jnp.maximum(1.0 - b2, 1e-30))
+    bdotp = bx * p1 + by * p2 + bz * p3
+    p0n = gam * (p0 - bdotp)
+    coef = (gam - 1.0) * bdotp / safe_b2 - gam * p0
+    q1 = p1 + coef * bx
+    q2 = p2 + coef * by
+    q3 = p3 + coef * bz
+    p0n = jnp.where(b2 > 0, p0n, p0)
+    q1 = jnp.where(b2 > 0, q1, p1)
+    q2 = jnp.where(b2 > 0, q2, p2)
+    q3 = jnp.where(b2 > 0, q3, p3)
+    # zero_norm: rescale the spatial part to the energy
+    n = jnp.sqrt(q1 * q1 + q2 * q2 + q3 * q3)
+    scale = jnp.where(n > 0, p0n / jnp.maximum(n, _TINY), 1.0)
+    return p0n, q1 * scale, q2 * scale, q3 * scale
+
+
+def _rotate_basis(vox, voy, voz, rox, roy, roz, vnx, vny, vnz, rnx, rny, rnz, q, u):
+    """Component form of ops.stokes.rotate_basis_vectors."""
+    ax = roy * voz - roz * voy
+    ay = roz * vox - rox * voz
+    az = rox * voy - roy * vox
+    bx = rny * vnz - rnz * vny
+    by = rnz * vnx - rnx * vnz
+    bz = rnx * vny - rny * vnx
+    dot_ab = ax * bx + ay * by + az * bz
+    n2 = (ax * ax + ay * ay + az * az) * (bx * bx + by * by + bz * bz)
+    d = jnp.clip(dot_ab * jax.lax.rsqrt(jnp.maximum(n2, _TINY)), -1.0, 1.0)
+    d = jnp.where(n2 > 0, d, 0.0)
+    # f = sign((A x v_old) . B)
+    cx = ay * voz - az * voy
+    cy = az * vox - ax * voz
+    cz = ax * voy - ay * vox
+    f = jnp.sign(cx * bx + cy * by + cz * bz)
+    c2 = jnp.where(f == 0, 1.0, 2.0 * d * d - 1.0)
+    s2 = -f * 2.0 * d * jnp.sqrt(jnp.maximum(1.0 - d * d, 0.0))
+    return c2 * q - s2 * u, s2 * q + c2 * u
+
+
+def _stokes_rotation(bx, by, bz, vx, vy, vz, wx, wy, wz, q, u):
+    """Component form of ops.stokes.stokes_rotation: z-hat -> boost basis in
+    the original frame (photon dir v), boost -> z-hat in the new frame (dir w).
+    """
+    # z-hat cross products inline: z x v = (-vy, vx, 0)
+    q, u = _rotate_basis(vx, vy, vz, 0.0, 0.0, 1.0, vx, vy, vz, bx, by, bz, q, u)
+    q, u = _rotate_basis(wx, wy, wz, bx, by, bz, wx, wy, wz, 0.0, 0.0, 1.0, q, u)
+    return q, u
+
+
+def _sample_thermal_electron(rng, shape, temp, c0, c1, c2, c3, el_iters: int):
+    """Component form of ops.electrons.sample_thermal_electron: Maxwell-
+    Juttner (gamma, gamma beta) via the Gamma-mixture envelope, relative angle
+    inverse-CDF, rotation into the photon's axes."""
+    theta = jnp.maximum(KB_OVER_MEC2 * temp, _TINY)
+    sqrt_theta = jnp.sqrt(theta)
+    m3 = 2.0 * theta * sqrt_theta
+    inv_mass = 1.0 / (1.0 + m3)
+    cum1 = 0.5 * inv_mass
+    cum2 = inv_mass
+
+    xi = jnp.full(shape, 1.5, jnp.float32)
+    done = jnp.zeros(shape, bool)
+    for _ in range(el_iters):
+        u0 = rng.uniform_pos()
+        u1 = rng.uniform_pos()
+        u2 = rng.uniform_pos()
+        um = rng.uniform()
+        ua = rng.uniform()
+        p2 = u0 * u1
+        prod = jnp.where(um < cum1, u0, jnp.where(um < cum2, p2, p2 * u2))
+        cand = -jnp.log(prod)
+        a = theta * cand
+        target = (1.0 + a) * jnp.sqrt(jnp.maximum(a * (2.0 + a), 0.0))
+        envelope = sqrt_theta * (1.0 + cand) + 2.0 * (theta * theta) * (cand * cand)
+        ok = ua * envelope <= target
+        take = ok & ~done
+        xi = jnp.where(take, cand, xi)
+        done = done | ok
+
+    a = theta * xi
+    gamma = 1.0 + a
+    gb = jnp.sqrt(jnp.maximum(a * (2.0 + a), 0.0))
+    beta = gb / gamma
+
+    # relative polar angle: inverse CDF of (1 - beta cos t) sin t
+    # (ops.electrons.sample_electron_cos_theta)
+    uu = rng.uniform()
+    safe_beta = jnp.maximum(beta, 1e-8)
+    arg = 1.0 + safe_beta * safe_beta + 2.0 * safe_beta - 4.0 * safe_beta * uu
+    cos_t = (1.0 - jnp.sqrt(jnp.maximum(arg, 0.0))) / safe_beta
+    cos_t = jnp.where(beta < 1e-6, 2.0 * uu - 1.0, cos_t)
+    cos_t = jnp.clip(cos_t, -1.0, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    uphi = rng.uniform()
+    phi = uphi * (2.0 * jnp.pi)
+    sp, cp = jnp.sin(phi), jnp.cos(phi)
+
+    e1 = gb * cos_t
+    e2 = gb * sin_t * sp
+    e3 = gb * sin_t * cp
+
+    # rotate into the photon's axes (ops.electrons.rotate_electron_to_photon_frame)
+    rho2 = c2 * c2 + c3 * c3
+    rho = jnp.sqrt(rho2)
+    norm = jnp.sqrt(rho2 + c1 * c1)
+    inv_norm = 1.0 / jnp.maximum(norm, _TINY)
+    c_th = c1 * inv_norm
+    s_th = rho * inv_norm
+    safe_rho = jnp.maximum(rho, _TINY)
+    c_ph = jnp.where(rho > 0, c3 / safe_rho, 1.0)
+    s_ph = jnp.where(rho > 0, c2 / safe_rho, 0.0)
+    # rotate_about_y_cs(v, c_th, s_th): x' = c x - s z ; z' = s x + c z
+    vx = c_th * e1 - s_th * e3
+    vy = e2
+    vz = s_th * e1 + c_th * e3
+    # rotate_about_x_cs(v, c_ph, -s_ph): y' = c y + s z ; z' = -s y + c z
+    wy = c_ph * vy + s_ph * vz
+    wz = -s_ph * vy + c_ph * vz
+    return gamma, vx, wy, wz
+
+
+def _kn_cross_section(e):
+    safe_e = jnp.maximum(e, 1e-10)
+    full = 0.75 * (
+        2.0 / (safe_e * safe_e)
+        + (1.0 / (2.0 * safe_e) - (1.0 + safe_e) / (safe_e**3)) * jnp.log1p(2.0 * safe_e)
+        + (1.0 + safe_e) / ((1.0 + 2.0 * safe_e) ** 2)
+    )
+    return jnp.where(e >= 1e-3, full, 1.0 - 2.0 * e)
+
+
+def _sample_kn_angles(rng, shape, e0, q, u, stokes_on: bool, kn_iters: int):
+    """Component form of ops.compton.sample_kn_angles_cs."""
+    # theta: rejection of f(c) under envelope 2
+    cos_theta = jnp.zeros(shape, jnp.float32)
+    done = jnp.zeros(shape, bool)
+    for _ in range(kn_iters):
+        c = 2.0 * rng.uniform() - 1.0
+        y = 2.0 * rng.uniform()
+        m = 1.0 + e0 * (1.0 - c)
+        f = (e0 * (1.0 - c) + 1.0 / m + c * c) / (m * m)
+        ok = y < f
+        take = ok & ~done
+        cos_theta = jnp.where(take, c, cos_theta)
+        done = done | ok
+    cos_theta = jnp.clip(cos_theta, -1.0, 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+
+    if stokes_on:
+        mu = 1.0 + e0 * (1.0 - cos_theta)
+        inv_mu = 1.0 / mu
+        f_theta = (inv_mu + inv_mu**3 - (sin_theta * sin_theta) * inv_mu * inv_mu) * sin_theta
+        pol_amp = sin_theta**3 * inv_mu * inv_mu
+        # cos/sin of 2 phi_max = |atan2(-u, q)| straight from components
+        # (Mosaic has no atan2): cos|x| = q/|qu|, sin|x| = |u|/|qu|
+        norm_qu = jnp.sqrt(q * q + u * u)
+        safe_qu = jnp.maximum(norm_qu, _TINY)
+        cos2pm = q / safe_qu
+        sin2pm = jnp.abs(u) / safe_qu
+        norm = f_theta + pol_amp * (q * cos2pm - u * sin2pm)
+        unpolarized = (q == 0.0) & (u == 0.0)
+        safe_norm = jnp.where(norm != 0, norm, 1.0)
+
+    x_acc = jnp.ones(shape, jnp.float32)
+    y_acc = jnp.zeros(shape, jnp.float32)
+    done = jnp.zeros(shape, bool)
+    for _ in range(kn_iters):
+        x = 2.0 * rng.uniform() - 1.0
+        y = 2.0 * rng.uniform() - 1.0
+        r2 = x * x + y * y
+        in_disk = (r2 <= 1.0) & (r2 > _TINY)
+        if stokes_on:
+            safe_r2 = jnp.maximum(r2, _TINY)
+            c2 = (x * x - y * y) / safe_r2
+            s2 = (2.0 * x * y) / safe_r2
+            f = (f_theta + pol_amp * (q * c2 - u * s2)) / safe_norm
+            ok = in_disk & (unpolarized | (r2 < f))
+        else:
+            ok = in_disk
+        take = ok & ~done
+        x_acc = jnp.where(take, x, x_acc)
+        y_acc = jnp.where(take, y, y_acc)
+        done = done | ok
+    inv_r = jax.lax.rsqrt(jnp.maximum(x_acc * x_acc + y_acc * y_acc, _TINY))
+    return cos_theta, sin_theta, x_acc * inv_r, y_acc * inv_r
+
+
+def _single_scatter(rng, shape, g0, e1x, e1y, e1z, c0, c1, c2, c3, q, u, v,
+                    stokes_on: bool, kn_iters: int):
+    """Component form of ops.compton.single_scatter.
+
+    (g0, e1*) is the electron four-momentum / m_e c; (c0..c3) the comoving
+    photon four-momentum; (q, u, v) its Stokes vector.  Returns
+    (scattered, new comoving p, new Stokes).
+    """
+    inv_g = 1.0 / g0
+    bx, by, bz = e1x * inv_g, e1y * inv_g, e1z * inv_g
+    # boost into the electron rest frame
+    r0, r1, r2, r3 = _boost(bx, by, bz, c0, c1, c2, c3)
+    if stokes_on:
+        q, u = _stokes_rotation(bx, by, bz, c1, c2, c3, r1, r2, r3, q, u)
+
+    e0 = r0
+    # alignment rotation cosines/sines from components
+    rho0 = jnp.sqrt(r1 * r1 + r2 * r2)
+    has_xy = rho0 > 0
+    safe_rho0 = jnp.maximum(rho0, _TINY)
+    a_c0 = jnp.where(has_xy, r1 / safe_rho0, 1.0)
+    a_s0 = jnp.where(has_xy, r2 / safe_rho0, 0.0)
+    inv_e0 = jnp.where(e0 > 0, 1.0 / jnp.maximum(e0, _TINY), 0.0)
+    a_c1 = jnp.where(e0 > 0, rho0 * inv_e0, 1.0)
+    a_s1 = r3 * inv_e0
+
+    accept_u = rng.uniform()
+    scattered = accept_u <= _kn_cross_section(e0)
+
+    ct, st, c_phi, s_phi = _sample_kn_angles(rng, shape, e0, q, u, stokes_on, kn_iters)
+
+    e1 = e0 / (1.0 + e0 * (1.0 - ct))
+    sx = e1 * ct
+    sy = e1 * st * s_phi
+    sz = e1 * st * c_phi
+    # undo rotation about y: x' = c x - s z ; z' = s x + c z  (with c=a_c1, s=a_s1)
+    tx = a_c1 * sx - a_s1 * sz
+    tz = a_s1 * sx + a_c1 * sz
+    # undo rotation about z: x' = c x - s y ; y' = s x + c y
+    nx = a_c0 * tx - a_s0 * sy
+    ny = a_s0 * tx + a_c0 * sy
+    nz = tz
+
+    if stokes_on:
+        q2, u2 = _rotate_basis(r1, r2, r3, 0.0, 0.0, 1.0, nx, ny, nz, r1, r2, r3, q, u)
+        cos_sc = (r1 * nx + r2 * ny + r3 * nz) / jnp.maximum(e0 * e1, _TINY)
+        cos_sc = jnp.clip(cos_sc, -1.0, 1.0)
+        # Fano matrix (ops.stokes.fano_scatter_stokes)
+        st2 = jnp.maximum(1.0 - cos_sc * cos_sc, 0.0)
+        de = e0 - e1
+        m00 = 1.0 + cos_sc * cos_sc + (1.0 - cos_sc) * de
+        m01 = st2
+        m11 = 1.0 + cos_sc * cos_sc
+        m22 = 2.0 * cos_sc
+        m33 = 2.0 * cos_sc + cos_sc * (1.0 - cos_sc) * de
+        fi = m00 + m01 * q2
+        fq = m01 + m11 * q2
+        fu = m22 * u2
+        fv = m33 * v
+        inv_i = 1.0 / fi
+        q2, u2, v2 = fq * inv_i, fu * inv_i, fv * inv_i
+        q2, u2 = _rotate_basis(nx, ny, nz, r1, r2, r3, nx, ny, nz, 0.0, 0.0, 1.0, q2, u2)
+    else:
+        q2, u2, v2 = q, u, v
+
+    # de-boost to the comoving frame
+    o0, o1, o2, o3 = _boost(-bx, -by, -bz, e1, nx, ny, nz)
+    if stokes_on:
+        q2, u2 = _stokes_rotation(-bx, -by, -bz, nx, ny, nz, o1, o2, o3, q2, u2)
+    return scattered, o0, o1, o2, o3, q2, u2, v2
+
+
+def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
+                 el_iters: int, kn_iters: int, s_rows: int, interpret: bool):
+    """Build the fused-round kernel body for a static config."""
+    two_d = cfg.dims is not Dims.THREE
+    geom = cfg.geometry
+    dims = cfg.dims
+    shape = (s_rows, LANES)
+
+    def fluid_beta(row, px, py):
+        """grid.fluid_beta_from_rows, component form."""
+        v0 = row[PCOL["v0"]]
+        v1 = row[PCOL["v1"]]
+        if not two_d:
+            return v0, v1, row[PCOL["v2"]]
+        v2 = row[PCOL["v2"]] if dims is not Dims.TWO else jnp.zeros_like(v0)
+        rho = jnp.sqrt(px * px + py * py)
+        has = rho > 0
+        safe = jnp.where(has, rho, 1.0)
+        c2 = jnp.where(has, px / safe, 1.0)
+        s2 = jnp.where(has, py / safe, 0.0)
+        if geom in (Geometry.CARTESIAN, Geometry.CYLINDRICAL):
+            return v0 * c2 - v2 * s2, v0 * s2 + v2 * c2, v1
+        if geom is Geometry.SPHERICAL:
+            s1 = row[PCOL["sin1"]]
+            c1 = row[PCOL["cos1"]]
+            vr = v0 * s1 + v1 * c1
+            return vr * c2 - v2 * s2, vr * s2 + v2 * c2, v0 * c1 - v1 * s1
+        raise ValueError(f"unsupported geometry {geom}")
+
+    def in_cell_and_domain(px, py, pz, row, dom_ref):
+        """Post-move membership: geometry.mcrat_to_hydro + checkInBlock + the
+        strict domain test, arccos/atan2-free.
+
+        Angular coordinates are tested in cosine space: for theta, c1 in
+        [0, pi] and half-width h <= pi, |theta - c1| <= h iff
+        cos(theta - c1) >= cos(h), with cos(theta - c1) expanded from the
+        photon components and the packed sin1/cos1 cell cache (Mosaic has no
+        inverse-trig lowering).  3-D spherical/polar (azimuthal cell widths)
+        are excluded by fused_transport_available.
+        """
+        if dims is Dims.THREE:
+            if geom is Geometry.CARTESIAN:
+                h0, h1, h2 = px, py, pz
+                ok = (
+                    (2.0 * jnp.abs(h0 - row[PCOL["r0"]]) - row[PCOL["dr0"]] <= 0)
+                    & (2.0 * jnp.abs(h1 - row[PCOL["r1"]]) - row[PCOL["dr1"]] <= 0)
+                    & (2.0 * jnp.abs(h2 - row[PCOL["r2"]]) - row[PCOL["dr2"]] <= 0)
+                    & (h0 > dom_ref[0]) & (h0 < dom_ref[1])
+                    & (h1 > dom_ref[2]) & (h1 < dom_ref[3])
+                    & (h2 > dom_ref[4]) & (h2 < dom_ref[5])
+                )
+                return ok
+            raise ValueError(f"unsupported 3-D geometry for fused kernel: {geom}")
+        if geom in (Geometry.CARTESIAN, Geometry.CYLINDRICAL):
+            h0 = jnp.sqrt(px * px + py * py)
+            h1 = pz
+            return (
+                (2.0 * jnp.abs(h0 - row[PCOL["r0"]]) - row[PCOL["dr0"]] <= 0)
+                & (2.0 * jnp.abs(h1 - row[PCOL["r1"]]) - row[PCOL["dr1"]] <= 0)
+                & (h0 > dom_ref[0]) & (h0 < dom_ref[1])
+                & (h1 > dom_ref[2]) & (h1 < dom_ref[3])
+            )
+        if geom is Geometry.SPHERICAL:
+            rho = jnp.sqrt(px * px + py * py)
+            r = jnp.sqrt(rho * rho + pz * pz)
+            inv_r = 1.0 / jnp.maximum(r, _TINY)
+            cos_th = jnp.clip(pz * inv_r, -1.0, 1.0)
+            sin_th = rho * inv_r
+            # cos(theta - c1) = cos th cos c1 + sin th sin c1
+            cos_dth = cos_th * row[PCOL["cos1"]] + sin_th * row[PCOL["sin1"]]
+            in_theta = cos_dth >= jnp.cos(0.5 * row[PCOL["dr1"]])
+            # domain: theta in (d2, d3) <=> cos d2 > cos th > cos d3
+            in_theta_dom = (cos_th < jnp.cos(dom_ref[2])) & (cos_th > jnp.cos(dom_ref[3]))
+            return (
+                (2.0 * jnp.abs(r - row[PCOL["r0"]]) - row[PCOL["dr0"]] <= 0)
+                & in_theta & in_theta_dom
+                & (r > dom_ref[0]) & (r < dom_ref[1])
+            )
+        raise ValueError(f"unsupported 2-D geometry for fused kernel: {geom}")
+
+    def kernel(seed_ref, dom_ref, state_ref, row_ref, flags_ref,
+               state_out_ref, oflags_ref):
+        rng = _Rng(shape, interpret)
+        rng.seed(seed_ref[0], pl.program_id(0))
+
+        st = [state_ref[i] for i in range(N_STATE)]
+        row = [row_ref[i] for i in range(row_ref.shape[0])]
+        flags = flags_ref[0]
+        alive = (flags & FLAG_ALIVE) != 0
+        is_pool = (flags & FLAG_POOL) != 0
+        in_grid = (flags & FLAG_INGRID) != 0
+
+        p0, p1, p2, p3 = st[SP_P0], st[SP_P1], st[SP_P2], st[SP_P3]
+        px, py, pz = st[SP_X], st[SP_Y], st[SP_Z]
+        q, u, v = st[SP_Q], st[SP_U], st[SP_V]
+        t_rem = st[SP_TREM]
+        ns = st[SP_NS]
+        c0, c1, c2, c3 = st[SP_C0], st[SP_C1], st[SP_C2], st[SP_C3]
+
+        stalled = jnp.zeros(shape, bool)
+        promoted = jnp.zeros(shape, bool)
+
+        gam = row[PCOL["gamma"]]
+        dens_lab = row[PCOL["dens_lab"]]
+        temp = row[PCOL["temp"]]
+        beta_mag = jnp.sqrt(jnp.maximum(1.0 - 1.0 / (gam * gam), 0.0))
+        n_sigma = (dens_lab * (1.0 / M_P)) * THOM_X_SECT
+
+        for _ in range(inner_rounds):
+            act = alive & (t_rem > 0) & ~stalled
+
+            # 1. tau rate from the carried row (transport._tau_rate, DIRECT)
+            bx, by, bz = fluid_beta(row, px, py)
+            fl_norm = jnp.sqrt(bx * bx + by * by + bz * bz)
+            ph_norm = jnp.sqrt(p1 * p1 + p2 * p2 + p3 * p3)
+            denom = jnp.maximum(fl_norm * ph_norm, _TINY)
+            cos_ang = (bx * p1 + by * p2 + bz * p3) / denom
+            rate = n_sigma * (1.0 - beta_mag * cos_ang)
+
+            # 2. comoving four-momentum
+            b0, b1, b2, b3 = _boost(bx, by, bz, p0, p1, p2, p3)
+            upd = act & in_grid
+            c0 = jnp.where(upd, b0, c0)
+            c1 = jnp.where(upd, b1, c1)
+            c2 = jnp.where(upd, b2, c2)
+            c3 = jnp.where(upd, b3, c3)
+
+            # 3. free path -> candidate step
+            u1 = rng.uniform_pos()
+            mfp = jnp.where(
+                in_grid & (rate > 0),
+                -jnp.log(u1) / jnp.maximum(rate, _TINY),
+                _DEFAULT_MFP,
+            )
+            dt_scatt = mfp * (1.0 / C_LIGHT)
+            will = act & in_grid & (dt_scatt < t_rem)
+            dt = jnp.where(will, dt_scatt, t_rem)
+            dt = jnp.where(act, dt, 0.0)
+
+            # 4. advance along the lab direction at c
+            inv_p0 = 1.0 / jnp.maximum(p0, _TINY)
+            moves = act & ~is_pool
+            step = jnp.where(moves, C_LIGHT * dt * inv_p0, 0.0)
+            px = px + step * p1
+            py = py + step * p2
+            pz = pz + step * p3
+            t_rem = t_rem - dt
+
+            # 5. scatter attempt (null collision on KN reject)
+            if stokes_on:
+                qc, uc = _stokes_rotation(bx, by, bz, p1, p2, p3, c1, c2, c3, q, u)
+            else:
+                qc, uc = q, u
+            g0, ex, ey, ez = _sample_thermal_electron(
+                rng, shape, temp, c0, c1, c2, c3, el_iters
+            )
+            sc, o0, o1, o2, o3, q2, u2, v2 = _single_scatter(
+                rng, shape, g0, ex, ey, ez, c0, c1, c2, c3, qc, uc, v,
+                stokes_on, kn_iters,
+            )
+            scattered = will & sc
+            l0, l1, l2, l3 = _boost(-bx, -by, -bz, o0, o1, o2, o3)
+            if stokes_on:
+                ql, ul = _stokes_rotation(-bx, -by, -bz, o1, o2, o3, l1, l2, l3, q2, u2)
+            else:
+                ql, ul = q2, u2
+            p0 = jnp.where(scattered, l0, p0)
+            p1 = jnp.where(scattered, l1, p1)
+            p2 = jnp.where(scattered, l2, p2)
+            p3 = jnp.where(scattered, l3, p3)
+            c0 = jnp.where(scattered, o0, c0)
+            c1 = jnp.where(scattered, o1, c1)
+            c2 = jnp.where(scattered, o2, c2)
+            c3 = jnp.where(scattered, o3, c3)
+            if stokes_on:
+                q = jnp.where(scattered, ql, q)
+                u = jnp.where(scattered, ul, u)
+                v = jnp.where(scattered, v2, v)
+            ns = ns + scattered.astype(jnp.float32)
+            promoted = promoted | (scattered & is_pool)
+
+            # 6. post-move cell validity: stall lanes that left their cell or
+            # the domain (outer find_cell_rows re-resolves them)
+            in_cell = in_cell_and_domain(px, py, pz, row, dom_ref)
+            stalled = stalled | (act & in_grid & ~in_cell & (t_rem > 0))
+
+        out = list(st)
+        out[SP_P0], out[SP_P1], out[SP_P2], out[SP_P3] = p0, p1, p2, p3
+        out[SP_X], out[SP_Y], out[SP_Z] = px, py, pz
+        out[SP_Q], out[SP_U], out[SP_V] = q, u, v
+        out[SP_TREM] = t_rem
+        out[SP_NS] = ns
+        out[SP_C0], out[SP_C1], out[SP_C2], out[SP_C3] = c0, c1, c2, c3
+        for i in range(N_STATE):
+            state_out_ref[i] = out[i]
+        oflags_ref[0] = (
+            stalled.astype(jnp.int32) * OUT_STALLED
+            + promoted.astype(jnp.int32) * OUT_PROMOTED
+        )
+
+    return kernel
+
+
+class FusedRoundsResult(NamedTuple):
+    state: jax.Array  # (N_STATE, R, 128) float32
+    out_flags: jax.Array  # (1, R, 128) int32 — stalled / promoted bits
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "stokes_on", "inner_rounds", "el_iters", "kn_iters",
+        "s_rows", "interpret",
+    ),
+)
+def fused_rounds(
+    cfg: Config,
+    seed,
+    domain,         # (6,) f32: (r0_lo, r0_hi, r1_lo, r1_hi, r2_lo, r2_hi)
+    state,          # (N_STATE, R, 128) f32
+    rows,           # (PACKED_WIDTH, R, 128) f32
+    flags,          # (1, R, 128) int32
+    stokes_on: bool = True,
+    inner_rounds: int = 4,
+    el_iters: int = 12,
+    kn_iters: int = 16,
+    s_rows: int = 128,
+    interpret: bool = False,
+) -> FusedRoundsResult:
+    """Run ``inner_rounds`` fused transport rounds over blocked photon planes."""
+    n_state, r_total, lanes = state.shape
+    assert n_state == N_STATE and lanes == LANES
+    assert r_total % s_rows == 0, (r_total, s_rows)
+    grid = (r_total // s_rows,)
+    kernel = _make_kernel(cfg, stokes_on, inner_rounds, el_iters, kn_iters, s_rows, interpret)
+    nrow = rows.shape[0]
+
+    state_out, oflags = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((N_STATE, r_total, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((1, r_total, LANES), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((N_STATE, s_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nrow, s_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((N_STATE, s_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(seed, domain.astype(jnp.float32), state, rows, flags)
+    return FusedRoundsResult(state=state_out, out_flags=oflags)

@@ -567,6 +567,166 @@ def transport_rounds(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "stokes_on", "max_rounds", "inner_rounds", "s_rows", "interpret"),
+)
+def transport_rounds_fused(
+    cfg: Config,
+    photons: Photons,
+    frame: HydroFrame,
+    index,
+    t_rem,
+    key,
+    stokes_on: bool = True,
+    max_rounds: int = 0,
+    inner_rounds: int = 4,
+    s_rows: int = 128,
+    interpret: bool = False,
+) -> "ChunkResult":
+    """Fused-kernel twin of :func:`transport_rounds` (thermal + DIRECT tau).
+
+    The Pallas kernel (ops.pallas_round) runs ``inner_rounds`` complete rounds
+    per invocation with every intermediate in VMEM; between invocations the
+    XLA side re-resolves containing cells (grid.find_cell_rows) for lanes the
+    kernel stalled after they left their cached cell.  Semantics match
+    transport_rounds: a scatter uses the pre-move cell's properties, photons
+    outside the grid advance on the default mean free path, pool photons
+    scatter in place and are promoted to COMPTONIZED.
+    """
+    from .ops import pallas_round as pr
+
+    dtype = photons.p.dtype
+    assert dtype == jnp.float32, "fused transport path is float32-only"
+    cap = photons.capacity
+    round_cap = max_rounds if max_rounds > 0 else cfg.max_rounds_per_frame
+    lanes = pr.LANES
+    r_raw = -(-cap // lanes)
+    r_pad = -(-r_raw // s_rows) * s_rows
+    n_pad = r_pad * lanes
+
+    def plane(x, fill=0.0):
+        return jnp.pad(x.astype(jnp.float32), (0, n_pad - cap),
+                       constant_values=fill).reshape(r_pad, lanes)
+
+    state = jnp.stack([
+        plane(photons.p[:, 0]), plane(photons.p[:, 1]),
+        plane(photons.p[:, 2]), plane(photons.p[:, 3]),
+        plane(photons.pos[:, 0]), plane(photons.pos[:, 1]), plane(photons.pos[:, 2]),
+        plane(photons.s[:, 1]), plane(photons.s[:, 2]), plane(photons.s[:, 3]),
+        plane(jnp.asarray(t_rem, jnp.float32)),
+        plane(photons.num_scatt),
+        plane(photons.comv_p[:, 0]), plane(photons.comv_p[:, 1]),
+        plane(photons.comv_p[:, 2]), plane(photons.comv_p[:, 3]),
+    ])
+    rows_pad_cols = n_pad - cap
+    alive0 = plane(photons.alive.astype(jnp.float32)) > 0
+    pool0 = plane((photons.ptype == PhotonType.CS_POOL).astype(jnp.float32)) > 0
+    cell0 = jnp.pad(photons.cell, (0, rows_pad_cols), constant_values=-1)
+    ns_total0 = jnp.sum(state[pr.SP_NS])
+    base_seed = jax.random.randint(key, (), jnp.iinfo(jnp.int32).min,
+                                   jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+
+    from .grid import PACKED_WIDTH, find_cell_rows, gather_rows
+
+    rows0 = gather_rows(frame, cell0)  # (16, n_pad)
+
+    def cond(carry):
+        state, rows, cell, pool, promoted_any, rounds = carry
+        active = alive0 & (state[pr.SP_TREM] > 0)
+        return jnp.any(active) & (rounds < round_cap)
+
+    def body(carry):
+        state, rows, cell, pool, promoted_any, rounds = carry
+        pos = jnp.stack([
+            state[pr.SP_X].reshape(-1), state[pr.SP_Y].reshape(-1),
+            state[pr.SP_Z].reshape(-1),
+        ], axis=-1)
+        cell, rows, in_grid = find_cell_rows(cfg, index, frame, pos, cell, rows)
+        flags = (
+            alive0.astype(jnp.int32) * pr.FLAG_ALIVE
+            + pool.astype(jnp.int32) * pr.FLAG_POOL
+            + (in_grid.reshape(r_pad, lanes)).astype(jnp.int32) * pr.FLAG_INGRID
+        )[None]
+        seed = (base_seed + rounds * jnp.int32(7919)).reshape(1)
+        res = pr.fused_rounds(
+            cfg, seed, frame.domain.reshape(-1),
+            state, rows.reshape(PACKED_WIDTH, r_pad, lanes), flags,
+            stokes_on=stokes_on, inner_rounds=inner_rounds,
+            s_rows=s_rows, interpret=interpret,
+        )
+        promoted = (res.out_flags[0] & pr.OUT_PROMOTED) != 0
+        pool = pool & ~promoted
+        return (res.state, rows, cell, pool, promoted_any | promoted,
+                rounds + inner_rounds)
+
+    state, rows, cell, pool, promoted_any, rounds = jax.lax.while_loop(
+        cond, body,
+        (state, rows0, cell0, pool0,
+         jnp.zeros((r_pad, lanes), bool), jnp.zeros((), jnp.int32)),
+    )
+
+    # final cell sync for the photons that moved in the last kernel call
+    pos = jnp.stack([
+        state[pr.SP_X].reshape(-1), state[pr.SP_Y].reshape(-1),
+        state[pr.SP_Z].reshape(-1),
+    ], axis=-1)
+    cell, rows, _ = find_cell_rows(cfg, index, frame, pos, cell, rows)
+
+    def unplane(i):
+        return state[i].reshape(-1)[:cap]
+
+    new_ptype = jnp.where(
+        promoted_any.reshape(-1)[:cap] & (photons.ptype == PhotonType.CS_POOL),
+        int(PhotonType.COMPTONIZED), photons.ptype,
+    )
+    ph = photons.replace(
+        p=jnp.stack([unplane(pr.SP_P0), unplane(pr.SP_P1),
+                     unplane(pr.SP_P2), unplane(pr.SP_P3)], axis=-1),
+        pos=jnp.stack([unplane(pr.SP_X), unplane(pr.SP_Y), unplane(pr.SP_Z)], axis=-1),
+        s=jnp.stack([jnp.ones((cap,), dtype), unplane(pr.SP_Q),
+                     unplane(pr.SP_U), unplane(pr.SP_V)], axis=-1),
+        num_scatt=unplane(pr.SP_NS),
+        comv_p=jnp.stack([unplane(pr.SP_C0), unplane(pr.SP_C1),
+                          unplane(pr.SP_C2), unplane(pr.SP_C3)], axis=-1),
+        cell=cell[:cap],
+        ptype=new_ptype,
+    )
+    t_out = unplane(pr.SP_TREM)
+    n_scatt = (jnp.sum(state[pr.SP_NS]) - ns_total0).astype(jnp.int32)
+    active = ph.alive & (t_out > 0)
+    return ChunkResult(
+        photons=ph, t_rem=t_out, n_scatt=n_scatt, n_rounds=rounds,
+        all_done=~jnp.any(active),
+    )
+
+
+def fused_transport_available(cfg: Config, photons: Photons, xsec_table) -> bool:
+    """True when the Pallas fused round kernel covers this configuration.
+
+    Out of scope (falls back to transport_rounds): float64 validation runs,
+    TABLE-mode hot cross sections, nonthermal electron populations, 3-D
+    spherical/polar grids (their cell-membership test needs atan2, which the
+    Mosaic TPU compiler does not provide), non-TPU backends, and small
+    populations where kernel launch overhead beats the fusion win.
+    """
+    from .config import Geometry, NonthermalDist
+
+    atan2_free = not (
+        cfg.dims is Dims.THREE
+        and cfg.geometry in (Geometry.SPHERICAL, Geometry.POLAR)
+    )
+    return (
+        photons.p.dtype == jnp.float32
+        and cfg.tau_calculation is TauCalculation.DIRECT
+        and cfg.nonthermal_e_dist is NonthermalDist.OFF
+        and xsec_table is None
+        and atan2_free
+        and jax.default_backend() == "tpu"
+        and photons.capacity >= 16384
+    )
+
+
 def frame_time(photons: Photons, dt_max) -> jax.Array:
     """Initial per-photon frame time window."""
     dtype = photons.p.dtype
@@ -597,10 +757,14 @@ def transport_frame(
     progress=None,
     compact: bool = True,
     min_compact_capacity: int = 1024,
+    fused=None,
 ) -> FrameResult:
     """Advance the whole population through one hydro-frame time window.
 
-    Host-level wrapper over :func:`transport_rounds`: when ``chunk_rounds`` > 0
+    Host-level wrapper over :func:`transport_rounds` (or its Pallas
+    fused-kernel twin :func:`transport_rounds_fused` when
+    ``fused`` — default: :func:`fused_transport_available` — says the
+    configuration is covered): when ``chunk_rounds`` > 0
     the frame is executed in bounded-round device chunks with an optional
     ``progress(n_scatt_total, rounds_total)`` callback between chunks (the
     analogue of the reference's log-every-1000-scatterings cadence,
@@ -625,10 +789,20 @@ def transport_frame(
 
     while True:
         key, sub = jax.random.split(key)
-        res = transport_rounds(
-            cfg, work_ph, frame, index, work_t, sub,
-            xsec_table=xsec_table, stokes_on=stokes_on, max_rounds=chunk_rounds,
+        use_fused = (
+            fused if fused is not None
+            else fused_transport_available(cfg, work_ph, xsec_table)
         )
+        if use_fused:
+            res = transport_rounds_fused(
+                cfg, work_ph, frame, index, work_t, sub,
+                stokes_on=stokes_on, max_rounds=chunk_rounds,
+            )
+        else:
+            res = transport_rounds(
+                cfg, work_ph, frame, index, work_t, sub,
+                xsec_table=xsec_table, stokes_on=stokes_on, max_rounds=chunk_rounds,
+            )
         work_ph, work_t = res.photons, res.t_rem
         n_scatt_total += int(res.n_scatt)
         rounds_total += int(res.n_rounds)

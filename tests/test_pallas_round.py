@@ -1,0 +1,154 @@
+"""Fused Pallas transport kernel vs the XLA reference path.
+
+The fused kernel (mcrat_tpu.ops.pallas_round) must agree with
+transport.transport_rounds in distribution: same physics, same frame
+semantics, different (hardware vs threefry) random streams.  On CPU the
+kernel runs in Pallas interpret mode with the murmur-hash RNG fallback.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcrat_tpu import transport
+from mcrat_tpu.config import Config, Dims, Geometry, SimType, Spectrum
+from mcrat_tpu.grid import build_rectilinear_index, frame_from_numpy
+from mcrat_tpu.models.analytic import (
+    apply_simulation_type,
+    make_grid_2d,
+    synthetic_spherical_frame,
+)
+from mcrat_tpu.ops.rng import make_key
+
+
+def _cylindrical_problem(n_min=1500, n_max=4000):
+    cfg = Config(
+        dims=Dims.TWO, geometry=Geometry.CYLINDRICAL,
+        simulation_type=SimType.CYLINDRICAL_OUTFLOW, dtype="float32",
+    )
+    r0e = np.linspace(0.0, 3.2e11, 33)
+    r1e = np.linspace(1.8e12, 2.9e12, 65)
+    host = frame_from_numpy(cfg, make_grid_2d(cfg, r0e, r1e))
+    apply_simulation_type(host)
+    idx = build_rectilinear_index(r0e, r1e, dtype="float32")
+    rng = np.random.default_rng(7)
+    arrays, _ = transport.inject_photons(
+        host, r_inj=2e12, ph_weight=1e50, min_photons=n_min, max_photons=n_max,
+        spect=Spectrum.BLACKBODY, theta_min=0.0, theta_max=np.pi / 30,
+        fps=5.0, rng=rng,
+    )
+    photons, _ = transport.photons_from_arrays(arrays, capacity=None, dtype=jnp.float32)
+    return cfg, photons, host.to_device(dtype=jnp.float32), idx
+
+
+def _spherical_problem():
+    cfg = Config(
+        dims=Dims.TWO, geometry=Geometry.SPHERICAL,
+        simulation_type=SimType.SPHERICAL_OUTFLOW, dtype="float32",
+    )
+    host, (re_, te_) = synthetic_spherical_frame(
+        cfg, r_min=5e12, r_max=4e13, nr=48, ntheta=6, theta_max=np.pi / 3
+    )
+    idx = build_rectilinear_index(re_, te_, dtype="float32")
+    rng = np.random.default_rng(3)
+    arrays, _ = transport.inject_photons(
+        host, r_inj=1e13, ph_weight=1e50, min_photons=1000, max_photons=4000,
+        spect=Spectrum.BLACKBODY, theta_min=0.0, theta_max=np.pi / 6,
+        fps=5.0, rng=rng,
+    )
+    photons, _ = transport.photons_from_arrays(arrays, capacity=None, dtype=jnp.float32)
+    return cfg, photons, host.to_device(dtype=jnp.float32), idx
+
+
+def _stats(res):
+    ph = res.photons
+    alive = np.asarray(ph.alive)
+    e = np.asarray(ph.p[:, 0])[alive]
+    ns = np.asarray(ph.num_scatt)[alive]
+    r = np.linalg.norm(np.asarray(ph.pos), axis=1)[alive]
+    s = np.asarray(ph.s)[alive]
+    return dict(
+        w=float(jnp.sum(ph.weight)), e=e.mean(), ns=ns.mean(), r=r.mean(),
+        q=float(s[:, 1].mean()), u=float(s[:, 2].mean()),
+        n_scatt=int(res.n_scatt),
+    )
+
+
+@pytest.mark.parametrize("problem", ["cylindrical", "spherical"])
+def test_fused_matches_xla_statistics(problem):
+    cfg, photons, frame, idx = (
+        _cylindrical_problem() if problem == "cylindrical" else _spherical_problem()
+    )
+    # window sized so both problems accumulate >~300 scatters (the spherical
+    # problem is optically thin; small counts made this test 2-sigma flaky)
+    dt = jnp.float32(0.05 if problem == "cylindrical" else 0.3)
+    t_rem = transport.frame_time(photons, dt)
+    res_x = transport.transport_rounds(
+        cfg, photons, frame, idx, t_rem, make_key(1), max_rounds=24
+    )
+    res_f = transport.transport_rounds_fused(
+        cfg, photons, frame, idx, t_rem, make_key(1),
+        max_rounds=24, inner_rounds=2, s_rows=8, interpret=True,
+    )
+    a, b = _stats(res_x), _stats(res_f)
+    assert b["w"] == pytest.approx(a["w"], rel=1e-6)  # weight conserved exactly
+    # same-population means under different streams: Monte Carlo tolerances
+    assert b["n_scatt"] == pytest.approx(a["n_scatt"], rel=0.12)
+    assert b["ns"] == pytest.approx(a["ns"], rel=0.1)
+    assert b["e"] == pytest.approx(a["e"], rel=0.08)
+    assert b["r"] == pytest.approx(a["r"], rel=1e-3)
+    assert abs(b["q"] - a["q"]) < 0.05
+    assert abs(b["u"] - a["u"]) < 0.05
+
+
+def test_fused_conserves_dead_lanes():
+    """Null/padded lanes must pass through the kernel untouched."""
+    cfg, photons, frame, idx = _cylindrical_problem(n_min=200, n_max=600)
+    # kill half the photons
+    n = photons.capacity
+    kill = (np.arange(n) % 2) == 0
+    photons = photons.replace(weight=photons.weight * jnp.asarray(~kill, jnp.float32))
+    t_rem = transport.frame_time(photons, jnp.float32(0.02))
+    res = transport.transport_rounds_fused(
+        cfg, photons, frame, idx, t_rem, make_key(2),
+        max_rounds=8, inner_rounds=2, s_rows=8, interpret=True,
+    )
+    ph = res.photons
+    # dead lanes: identical state, zero scatterings
+    np.testing.assert_array_equal(
+        np.asarray(ph.p)[kill], np.asarray(photons.p)[kill]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ph.pos)[kill], np.asarray(photons.pos)[kill]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ph.num_scatt)[kill], np.asarray(photons.num_scatt)[kill]
+    )
+    # live lanes moved
+    assert int(res.n_scatt) > 0
+
+
+def test_fused_spectrum_agreement():
+    """Comptonized spectra from the two engines agree bin by bin."""
+    cfg, photons, frame, idx = _cylindrical_problem(n_min=4000, n_max=12000)
+    t_rem = transport.frame_time(photons, jnp.float32(0.05))
+    res_x = transport.transport_rounds(
+        cfg, photons, frame, idx, t_rem, make_key(5), max_rounds=10
+    )
+    res_f = transport.transport_rounds_fused(
+        cfg, photons, frame, idx, t_rem, make_key(5),
+        max_rounds=10, inner_rounds=2, s_rows=8, interpret=True,
+    )
+    bins = np.geomspace(1e-4, 1e-1, 16)
+    h = []
+    for res in (res_x, res_f):
+        ph = res.photons
+        alive = np.asarray(ph.alive)
+        e = np.asarray(ph.p[:, 0])[alive]
+        w = np.asarray(ph.weight)[alive]
+        hist, _ = np.histogram(e, bins=bins, weights=w)
+        h.append(hist / hist.sum())
+    # chi-square-ish bin agreement at MC statistics
+    for fa, fb in zip(*h):
+        if fa > 0.01:
+            assert fb == pytest.approx(fa, rel=0.25), (h[0], h[1])
