@@ -118,6 +118,24 @@ class _Rng:
         return jnp.maximum(self.uniform(), _TINY)
 
 
+def _iterate(rng: "_Rng", n: int, body, init):
+    """Run ``body(i, carry)`` n times.
+
+    On hardware this is a ``lax.fori_loop`` — crucial for compile time: the
+    rejection samplers draw ~44 trial blocks per round and unrolling them all
+    made the Mosaic program minutes-long to compile.  The hardware PRNG is
+    stateful, so iterations draw fresh randomness inside the loop.  Interpret
+    mode (CPU tests) keeps the Python unroll because its counter-based RNG
+    advances per *traced* call.
+    """
+    if rng.interpret:
+        carry = init
+        for i in range(n):
+            carry = body(i, carry)
+        return carry
+    return jax.lax.fori_loop(0, n, body, init)
+
+
 def _boost(bx, by, bz, p0, p1, p2, p3):
     """Photon Lorentz boost, component form of ops.fourvec.lorentz_boost
     (+ zero_norm)."""
@@ -183,9 +201,8 @@ def _sample_thermal_electron(rng, shape, temp, c0, c1, c2, c3, el_iters: int):
     cum1 = 0.5 * inv_mass
     cum2 = inv_mass
 
-    xi = jnp.full(shape, 1.5, jnp.float32)
-    done = jnp.zeros(shape, bool)
-    for _ in range(el_iters):
+    def mj_trial(_, carry):
+        xi, done = carry
         u0 = rng.uniform_pos()
         u1 = rng.uniform_pos()
         u2 = rng.uniform_pos()
@@ -198,9 +215,15 @@ def _sample_thermal_electron(rng, shape, temp, c0, c1, c2, c3, el_iters: int):
         target = (1.0 + a) * jnp.sqrt(jnp.maximum(a * (2.0 + a), 0.0))
         envelope = sqrt_theta * (1.0 + cand) + 2.0 * (theta * theta) * (cand * cand)
         ok = ua * envelope <= target
-        take = ok & ~done
+        take = ok & (done == 0.0)
         xi = jnp.where(take, cand, xi)
-        done = done | ok
+        done = jnp.maximum(done, ok.astype(jnp.float32))
+        return xi, done
+
+    xi, _ = _iterate(
+        rng, el_iters, mj_trial,
+        (jnp.full(shape, 1.5, jnp.float32), jnp.zeros(shape, jnp.float32)),
+    )
 
     a = theta * xi
     gamma = 1.0 + a
@@ -257,17 +280,22 @@ def _kn_cross_section(e):
 def _sample_kn_angles(rng, shape, e0, q, u, stokes_on: bool, kn_iters: int):
     """Component form of ops.compton.sample_kn_angles_cs."""
     # theta: rejection of f(c) under envelope 2
-    cos_theta = jnp.zeros(shape, jnp.float32)
-    done = jnp.zeros(shape, bool)
-    for _ in range(kn_iters):
+    def theta_trial(_, carry):
+        cos_theta, done = carry
         c = 2.0 * rng.uniform() - 1.0
         y = 2.0 * rng.uniform()
         m = 1.0 + e0 * (1.0 - c)
         f = (e0 * (1.0 - c) + 1.0 / m + c * c) / (m * m)
         ok = y < f
-        take = ok & ~done
+        take = ok & (done == 0.0)
         cos_theta = jnp.where(take, c, cos_theta)
-        done = done | ok
+        done = jnp.maximum(done, ok.astype(jnp.float32))
+        return cos_theta, done
+
+    cos_theta, _ = _iterate(
+        rng, kn_iters, theta_trial,
+        (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32)),
+    )
     cos_theta = jnp.clip(cos_theta, -1.0, 1.0)
     sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
 
@@ -286,10 +314,8 @@ def _sample_kn_angles(rng, shape, e0, q, u, stokes_on: bool, kn_iters: int):
         unpolarized = (q == 0.0) & (u == 0.0)
         safe_norm = jnp.where(norm != 0, norm, 1.0)
 
-    x_acc = jnp.ones(shape, jnp.float32)
-    y_acc = jnp.zeros(shape, jnp.float32)
-    done = jnp.zeros(shape, bool)
-    for _ in range(kn_iters):
+    def phi_trial(_, carry):
+        x_acc, y_acc, done = carry
         x = 2.0 * rng.uniform() - 1.0
         y = 2.0 * rng.uniform() - 1.0
         r2 = x * x + y * y
@@ -302,10 +328,17 @@ def _sample_kn_angles(rng, shape, e0, q, u, stokes_on: bool, kn_iters: int):
             ok = in_disk & (unpolarized | (r2 < f))
         else:
             ok = in_disk
-        take = ok & ~done
+        take = ok & (done == 0.0)
         x_acc = jnp.where(take, x, x_acc)
         y_acc = jnp.where(take, y, y_acc)
-        done = done | ok
+        done = jnp.maximum(done, ok.astype(jnp.float32))
+        return x_acc, y_acc, done
+
+    x_acc, y_acc, _ = _iterate(
+        rng, kn_iters, phi_trial,
+        (jnp.ones(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
+         jnp.zeros(shape, jnp.float32)),
+    )
     inv_r = jax.lax.rsqrt(jnp.maximum(x_acc * x_acc + y_acc * y_acc, _TINY))
     return cos_theta, sin_theta, x_acc * inv_r, y_acc * inv_r
 
@@ -474,24 +507,16 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
         is_pool = (flags & FLAG_POOL) != 0
         in_grid = (flags & FLAG_INGRID) != 0
 
-        p0, p1, p2, p3 = st[SP_P0], st[SP_P1], st[SP_P2], st[SP_P3]
-        px, py, pz = st[SP_X], st[SP_Y], st[SP_Z]
-        q, u, v = st[SP_Q], st[SP_U], st[SP_V]
-        t_rem = st[SP_TREM]
-        ns = st[SP_NS]
-        c0, c1, c2, c3 = st[SP_C0], st[SP_C1], st[SP_C2], st[SP_C3]
-
-        stalled = jnp.zeros(shape, bool)
-        promoted = jnp.zeros(shape, bool)
-
         gam = row[PCOL["gamma"]]
         dens_lab = row[PCOL["dens_lab"]]
         temp = row[PCOL["temp"]]
         beta_mag = jnp.sqrt(jnp.maximum(1.0 - 1.0 / (gam * gam), 0.0))
         n_sigma = (dens_lab * (1.0 / M_P)) * THOM_X_SECT
 
-        for _ in range(inner_rounds):
-            act = alive & (t_rem > 0) & ~stalled
+        def round_body(_, carry):
+            (p0, p1, p2, p3, px, py, pz, q, u, v, t_rem, ns,
+             c0, c1, c2, c3, stalled, promoted) = carry
+            act = alive & (t_rem > 0) & (stalled == 0.0)
 
             # 1. tau rate from the carried row (transport._tau_rate, DIRECT)
             bx, by, bz = fluid_beta(row, px, py)
@@ -561,12 +586,30 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
                 u = jnp.where(scattered, ul, u)
                 v = jnp.where(scattered, v2, v)
             ns = ns + scattered.astype(jnp.float32)
-            promoted = promoted | (scattered & is_pool)
+            promoted = jnp.maximum(promoted, (scattered & is_pool).astype(jnp.float32))
 
             # 6. post-move cell validity: stall lanes that left their cell or
             # the domain (outer find_cell_rows re-resolves them)
             in_cell = in_cell_and_domain(px, py, pz, row, dom_ref)
-            stalled = stalled | (act & in_grid & ~in_cell & (t_rem > 0))
+            stalled = jnp.maximum(
+                stalled,
+                (act & in_grid & ~in_cell & (t_rem > 0)).astype(jnp.float32),
+            )
+            return (p0, p1, p2, p3, px, py, pz, q, u, v, t_rem, ns,
+                    c0, c1, c2, c3, stalled, promoted)
+
+        init = (
+            st[SP_P0], st[SP_P1], st[SP_P2], st[SP_P3],
+            st[SP_X], st[SP_Y], st[SP_Z],
+            st[SP_Q], st[SP_U], st[SP_V],
+            st[SP_TREM], st[SP_NS],
+            st[SP_C0], st[SP_C1], st[SP_C2], st[SP_C3],
+            jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
+        )
+        (p0, p1, p2, p3, px, py, pz, q, u, v, t_rem, ns,
+         c0, c1, c2, c3, stalled, promoted) = _iterate(
+            rng, inner_rounds, round_body, init
+        )
 
         out = list(st)
         out[SP_P0], out[SP_P1], out[SP_P2], out[SP_P3] = p0, p1, p2, p3
@@ -578,8 +621,8 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
         for i in range(N_STATE):
             state_out_ref[i] = out[i]
         oflags_ref[0] = (
-            stalled.astype(jnp.int32) * OUT_STALLED
-            + promoted.astype(jnp.int32) * OUT_PROMOTED
+            (stalled > 0).astype(jnp.int32) * OUT_STALLED
+            + (promoted > 0).astype(jnp.int32) * OUT_PROMOTED
         )
 
     return kernel
