@@ -804,15 +804,26 @@ def transport_frame(
                 xsec_table=xsec_table, stokes_on=stokes_on, max_rounds=chunk_rounds,
             )
         work_ph, work_t = res.photons, res.t_rem
-        n_scatt_total += int(res.n_scatt)
-        rounds_total += int(res.n_rounds)
+        # ONE host<->device fetch per chunk: each separate int()/bool() sync
+        # is a full tunnel round-trip (~50 ms over axon), which dominated the
+        # per-frame wall time once the kernel itself dropped under 200 ms.
+        will_compact = (
+            compact and chunk_rounds != 0
+            and work_ph.capacity > min_compact_capacity
+        )
+        fetch = [res.n_scatt, res.n_rounds, res.all_done]
+        if will_compact:
+            fetch.append(work_ph.alive & (work_t > 0))
+        fetched = jax.device_get(fetch)
+        n_scatt_total += int(fetched[0])
+        rounds_total += int(fetched[1])
         if progress is not None:
             progress(n_scatt_total, rounds_total)
-        done = bool(res.all_done)
+        done = bool(fetched[2])
         if done or chunk_rounds == 0 or rounds_total >= cfg.max_rounds_per_frame:
             break
-        if compact and work_ph.capacity > min_compact_capacity:
-            active = np.asarray(work_ph.alive & (work_t > 0))
+        if will_compact:
+            active = np.asarray(fetched[3])
             n_active = int(active.sum())
             if n_active < work_ph.capacity // 4:
                 # write current working set back, then shrink
