@@ -497,8 +497,31 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
 
     def kernel(seed_ref, dom_ref, state_ref, row_ref, flags_ref,
                state_out_ref, oflags_ref):
+        # seed_ref = [seed, n_active_blocks]: the caller partitions active
+        # lanes into the leading blocks, so any block at or past
+        # n_active_blocks is entirely idle — skip its compute and copy the
+        # state through (the dominant cost of a frame's long tail, where a
+        # few deep photons keep scattering long after the bulk is done).
+        # program_id must be read at kernel top level (interpret mode does
+        # not substitute it inside pl.when sub-jaxprs).
+        pid = pl.program_id(0)
+        is_active_block = pid < seed_ref[1]
+
+        @pl.when(jnp.logical_not(is_active_block))
+        def _passthrough():
+            for i in range(N_STATE):
+                state_out_ref[i] = state_ref[i]
+            oflags_ref[0] = jnp.zeros(shape, jnp.int32)
+
+        @pl.when(is_active_block)
+        def _active_body():
+            _kernel_body(pid, seed_ref, dom_ref, state_ref, row_ref,
+                         flags_ref, state_out_ref, oflags_ref)
+
+    def _kernel_body(pid, seed_ref, dom_ref, state_ref, row_ref, flags_ref,
+                     state_out_ref, oflags_ref):
         rng = _Rng(shape, interpret)
-        rng.seed(seed_ref[0], pl.program_id(0))
+        rng.seed(seed_ref[0], pid)
 
         st = [state_ref[i] for i in range(N_STATE)]
         row = [row_ref[i] for i in range(row_ref.shape[0])]
@@ -661,6 +684,12 @@ def fused_rounds(
     grid = (r_total // s_rows,)
     kernel = _make_kernel(cfg, stokes_on, inner_rounds, el_iters, kn_iters, s_rows, interpret)
     nrow = rows.shape[0]
+    # seed may be (1,) [seed] or (2,) [seed, n_active_blocks]; with no
+    # active-block count every block computes (the pre-compaction behavior).
+    seed = jnp.asarray(seed, jnp.int32)
+    if seed.shape[0] == 1:
+        seed = jnp.concatenate(
+            [seed, jnp.full((1,), grid[0], jnp.int32)])
 
     state_out, oflags = pl.pallas_call(
         kernel,
