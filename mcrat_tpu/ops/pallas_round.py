@@ -190,44 +190,75 @@ def _stokes_rotation(bx, by, bz, vx, vy, vz, wx, wy, wz, q, u):
     return q, u
 
 
+# theta = kT/(m_e c^2) at the reference's thermal-sampler switch temperature
+# of 1e7 K (Src/electron.c:206,227): below it the reference draws three
+# Maxwell-Boltzmann Gaussian velocity components instead of rejection-sampling
+# Maxwell-Juttner.  At theta < 1.7e-3 the two distributions agree to O(theta)
+# — beyond float32 statistical resolution — so the cheap draw is exact here.
+_THETA_MB_SWITCH = 1.6863699656e-3
+
+
 def _sample_thermal_electron(rng, shape, temp, c0, c1, c2, c3, el_iters: int):
     """Component form of ops.electrons.sample_thermal_electron: Maxwell-
     Juttner (gamma, gamma beta) via the Gamma-mixture envelope, relative angle
-    inverse-CDF, rotation into the photon's axes."""
-    theta = jnp.maximum(KB_OVER_MEC2 * temp, _TINY)
-    sqrt_theta = jnp.sqrt(theta)
-    m3 = 2.0 * theta * sqrt_theta
-    inv_mass = 1.0 / (1.0 + m3)
-    cum1 = 0.5 * inv_mass
-    cum2 = inv_mass
+    inverse-CDF, rotation into the photon's axes.
 
-    def mj_trial(_, carry):
-        xi, done = carry
-        u0 = rng.uniform_pos()
+    Blocks whose every lane is nonrelativistic (T < 1e7 K, the reference's own
+    sampler switch, Src/electron.c:206-237) take a Maxwell-Boltzmann speed
+    draw instead: beta^2 = theta * chi2_3 with chi2_3 ~ chi-squared(3) from
+    3 uniforms (Gamma(1) + Gamma(1/2) decomposition) — one trial versus the
+    MJ loop's ``el_iters`` five-uniform trials.
+    """
+    theta = jnp.maximum(KB_OVER_MEC2 * temp, _TINY)
+
+    def mb_draw():
         u1 = rng.uniform_pos()
         u2 = rng.uniform_pos()
-        um = rng.uniform()
-        ua = rng.uniform()
-        p2 = u0 * u1
-        prod = jnp.where(um < cum1, u0, jnp.where(um < cum2, p2, p2 * u2))
-        cand = -jnp.log(prod)
-        a = theta * cand
-        target = (1.0 + a) * jnp.sqrt(jnp.maximum(a * (2.0 + a), 0.0))
-        envelope = sqrt_theta * (1.0 + cand) + 2.0 * (theta * theta) * (cand * cand)
-        ok = ua * envelope <= target
-        take = ok & (done == 0.0)
-        xi = jnp.where(take, cand, xi)
-        done = jnp.maximum(done, ok.astype(jnp.float32))
-        return xi, done
+        u3 = rng.uniform()
+        cosb = jnp.cos((2.0 * jnp.pi) * u3)
+        chi2_3 = -2.0 * jnp.log(u1) - 2.0 * jnp.log(u2) * (cosb * cosb)
+        b2 = jnp.minimum(theta * chi2_3, jnp.float32(0.999999))
+        gamma = jax.lax.rsqrt(1.0 - b2)
+        gb = gamma * jnp.sqrt(b2)
+        return gamma, gb
 
-    xi, _ = _iterate(
-        rng, el_iters, mj_trial,
-        (jnp.full(shape, 1.5, jnp.float32), jnp.zeros(shape, jnp.float32)),
-    )
+    def mj_draw():
+        sqrt_theta = jnp.sqrt(theta)
+        m3 = 2.0 * theta * sqrt_theta
+        inv_mass = 1.0 / (1.0 + m3)
+        cum1 = 0.5 * inv_mass
+        cum2 = inv_mass
 
-    a = theta * xi
-    gamma = 1.0 + a
-    gb = jnp.sqrt(jnp.maximum(a * (2.0 + a), 0.0))
+        def mj_trial(_, carry):
+            xi, done = carry
+            u0 = rng.uniform_pos()
+            u1 = rng.uniform_pos()
+            u2 = rng.uniform_pos()
+            um = rng.uniform()
+            ua = rng.uniform()
+            p2 = u0 * u1
+            prod = jnp.where(um < cum1, u0, jnp.where(um < cum2, p2, p2 * u2))
+            cand = -jnp.log(prod)
+            a = theta * cand
+            target = (1.0 + a) * jnp.sqrt(jnp.maximum(a * (2.0 + a), 0.0))
+            envelope = sqrt_theta * (1.0 + cand) + 2.0 * (theta * theta) * (cand * cand)
+            ok = ua * envelope <= target
+            take = ok & (done == 0.0)
+            xi = jnp.where(take, cand, xi)
+            done = jnp.maximum(done, ok.astype(jnp.float32))
+            return xi, done
+
+        xi, _ = _iterate(
+            rng, el_iters, mj_trial,
+            (jnp.full(shape, 1.5, jnp.float32), jnp.zeros(shape, jnp.float32)),
+        )
+        a = theta * xi
+        gamma = 1.0 + a
+        gb = jnp.sqrt(jnp.maximum(a * (2.0 + a), 0.0))
+        return gamma, gb
+
+    all_cold = jnp.all(theta < _THETA_MB_SWITCH)
+    gamma, gb = jax.lax.cond(all_cold, mb_draw, mj_draw)
     beta = gb / gamma
 
     # relative polar angle: inverse CDF of (1 - beta cos t) sin t
