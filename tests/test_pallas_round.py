@@ -101,6 +101,45 @@ def test_fused_matches_xla_statistics(problem):
     assert abs(b["u"] - a["u"]) < 0.05
 
 
+def test_fused_hot_frame_matches_xla():
+    """A frame above the 1e7 K sampler switch must take the Maxwell-Juttner
+    branch of the per-block cond (ops/pallas_round._sample_thermal_electron)
+    and still agree with the XLA path in distribution."""
+    cfg = Config(
+        dims=Dims.TWO, geometry=Geometry.CYLINDRICAL,
+        simulation_type=SimType.CYLINDRICAL_OUTFLOW, dtype="float32",
+    )
+    r0e = np.linspace(0.0, 3.2e11, 33)
+    r1e = np.linspace(1.8e12, 2.9e12, 65)
+    host = frame_from_numpy(cfg, make_grid_2d(cfg, r0e, r1e))
+    apply_simulation_type(host)
+    host.temp[:] = 5e8  # theta ~ 0.07: relativistic Maxwell-Juttner regime
+    idx = build_rectilinear_index(r0e, r1e, dtype="float32")
+    rng = np.random.default_rng(11)
+    arrays, _ = transport.inject_photons(
+        host, r_inj=2e12, ph_weight=1e50, min_photons=1500, max_photons=4000,
+        spect=Spectrum.BLACKBODY, theta_min=0.0, theta_max=np.pi / 30,
+        fps=5.0, rng=rng,
+    )
+    photons, _ = transport.photons_from_arrays(arrays, capacity=None, dtype=jnp.float32)
+    frame = host.to_device(dtype=jnp.float32)
+    t_rem = transport.frame_time(photons, jnp.float32(0.05))
+    res_x = transport.transport_rounds(
+        cfg, photons, frame, idx, t_rem, make_key(5), max_rounds=16
+    )
+    res_f = transport.transport_rounds_fused(
+        cfg, photons, frame, idx, t_rem, make_key(5),
+        max_rounds=16, inner_rounds=2, s_rows=8, interpret=True,
+    )
+    a, b = _stats(res_x), _stats(res_f)
+    assert b["w"] == pytest.approx(a["w"], rel=1e-6)
+    assert b["n_scatt"] == pytest.approx(a["n_scatt"], rel=0.12)
+    assert b["ns"] == pytest.approx(a["ns"], rel=0.1)
+    # hot electrons inverse-Compton heat the photons; means must track
+    assert b["e"] == pytest.approx(a["e"], rel=0.15)
+    assert b["r"] == pytest.approx(a["r"], rel=1e-3)
+
+
 def test_fused_conserves_dead_lanes():
     """Null/padded lanes must pass through the kernel untouched."""
     cfg, photons, frame, idx = _cylindrical_problem(n_min=200, n_max=600)
