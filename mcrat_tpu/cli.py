@@ -94,6 +94,9 @@ def main(argv=None):
     run.add_argument("--last-frame", type=int, default=None,
                      help="override mc.par last frame (short test runs)")
     run.add_argument("--chunk-rounds", type=int, default=256)
+    run.add_argument("--ph-weight", type=float, default=1e50,
+                     help="initial injection weight before auto-tune "
+                          "(reference passes this through photonInjection)")
     run.add_argument("--merge", action="store_true", help="merge after the run")
 
     mrg = sub.add_parser("merge", help="merge per-process files (the MERGE tool)")
@@ -193,7 +196,7 @@ def main(argv=None):
     work = run_rank(
         cfg, par, paths, rank=args.rank, num_ranks=args.num_ranks,
         last_frame_override=args.last_frame, chunk_rounds=args.chunk_rounds,
-        synthetic_frame_factory=factory,
+        synthetic_frame_factory=factory, ph_weight=args.ph_weight,
     )
     if args.merge:
         counts = merge_rank_outputs(work, par, last_frame=args.last_frame)

@@ -940,6 +940,34 @@ def scatt_stats(photons: Photons):
     return mx, mn, mean, r_mean
 
 
+@jax.jit
+def frame_stats(photons: Photons) -> jax.Array:
+    """All per-frame driver statistics as ONE (9,) device array.
+
+    Coalesces scatt_stats + ph_min_max + the cyclo-synchrotron pool count so
+    the driver issues a single host<->device fetch per frame instead of 8-10
+    scalar round-trips (each ~50 ms over the axon tunnel; the same fix
+    transport_frame applies to its per-chunk syncs).  Layout:
+
+        [0:4] scatt_stats  (max, min, mean num_scatt, mean r)
+        [4:8] ph_min_max   (r_min, r_max, theta_min, theta_max)
+        [8]   live CS_POOL photon count
+    """
+    mx, mn, mean, r_mean = scatt_stats(photons)
+    r_min, r_max, t_min, t_max = ph_min_max(photons)
+    n_pool = jnp.sum(
+        photons.alive & (photons.ptype == int(PhotonType.CS_POOL))
+    )
+    dtype = photons.p.dtype
+    return jnp.stack(
+        [
+            mx.astype(dtype), mn.astype(dtype), mean.astype(dtype),
+            r_mean.astype(dtype), r_min, r_max, t_min, t_max,
+            n_pool.astype(dtype),
+        ]
+    )
+
+
 def ph_min_max(photons: Photons):
     """(r_min, r_max, theta_min, theta_max) over live photons for hydro
     decimation (reference: phMinMax, Src/mclib.c:1465-1515)."""

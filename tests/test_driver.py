@@ -133,6 +133,41 @@ def test_run_rank_restart_continue(tmp_path):
     assert frames == [12, 13]
 
 
+def test_initialize_mode_cleans_stale_output(tmp_path):
+    """Re-running an initialize job in a dirty directory must NOT double-count
+    photons: the reference deletes mc_proc_*/mcdata_*/mc_chkpt_* before a fresh
+    run (Src/mcrat.c:507-549); append-mode HDF5 writes would otherwise append a
+    second copy of every frame group."""
+    import h5py
+
+    par = _par(restart="i")
+    paths = HydroPaths(filepath=str(tmp_path) + "/", mc_path="MC/")
+    factory = default_synthetic_factory(CFG, par, nr=128, ntheta=24)
+    work = run_rank(
+        CFG, par, paths, rank=1, num_ranks=4, chunk_rounds=0,
+        synthetic_frame_factory=factory, progress=False,
+    )
+    proc = os.path.join(work.mc_dir, "mc_proc_1.h5")
+    with h5py.File(proc) as f:
+        n_first = {k: f[k]["P0"].shape[0] for k in f.keys()}
+    # stale merged output that the fresh run must remove
+    stale = os.path.join(work.mc_dir, "mcdata_99.h5")
+    with h5py.File(stale, "w") as f:
+        f.create_dataset("P0", data=np.zeros(3))
+
+    run_rank(
+        CFG, par, paths, rank=1, num_ranks=4, chunk_rounds=0,
+        synthetic_frame_factory=factory, progress=False,
+    )
+    with h5py.File(proc) as f:
+        n_second = {k: f[k]["P0"].shape[0] for k in f.keys()}
+    # photon counts are statistically similar but NOT appended (the second run
+    # would roughly double every group if the cleanup were missing)
+    for k in n_first:
+        assert n_second[k] < 1.5 * n_first[k], (k, n_first[k], n_second[k])
+    assert not os.path.exists(stale)
+
+
 def test_run_rank_with_cyclosynchrotron(tmp_path):
     """Full driver pass with the cyclo-synchrotron module on: pool photons are
     emitted into the advected shell, scatter in place (promoted to
