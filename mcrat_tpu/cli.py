@@ -98,11 +98,22 @@ def main(argv=None):
                      help="initial injection weight before auto-tune "
                           "(reference passes this through photonInjection)")
     run.add_argument("--merge", action="store_true", help="merge after the run")
+    run.add_argument("--elastic", action="store_true",
+                     help="re-adopt unfinished old-rank checkpoints under this "
+                          "job's --num-ranks (any size; the reference aborts "
+                          "unless ranks map exactly, Src/mcrat.c:402-407)")
 
     mrg = sub.add_parser("merge", help="merge per-process files (the MERGE tool)")
-    mrg.add_argument("mc_dir", help="angle directory containing mc_proc_*.h5")
+    mrg.add_argument("mc_dir",
+                     help="angle directory containing mc_proc_*.h5, or the MC "
+                          "base directory containing angle dirs (cross-angle "
+                          "merge into ALL_DATA/, like the reference MERGE "
+                          "binary: mpiexec -np N ./MERGE /dir/to/MC/)")
     mrg.add_argument("--frames", default=None,
                      help="frame range as lo:hi (default: every frame found)")
+    mrg.add_argument("--all-data", action="store_true",
+                     help="force the cross-angle ALL_DATA merge (otherwise "
+                          "auto-detected from the directory layout)")
 
     st = sub.add_parser(
         "status",
@@ -161,27 +172,29 @@ def main(argv=None):
     if args.command == "merge":
         import glob
         import os
-        import re
 
-        from .io.photons_h5 import merge_all
+        from .io.photons_h5 import discover_frames, merge_across_angles, merge_all
 
+        frames = None
         if args.frames:
             lo, hi = (int(x) for x in args.frames.split(":"))
             frames = range(lo, hi + 1)
+        local_procs = glob.glob(os.path.join(args.mc_dir, "mc_proc_*.h5"))
+        if args.all_data or not local_procs:
+            # MC base dir: cross-angle merge into ALL_DATA/ (the reference's
+            # standalone MERGE binary, Src/merge.c:23-336)
+            counts = merge_across_angles(args.mc_dir, frames)
         else:
-            found = set()
-            for path in glob.glob(os.path.join(args.mc_dir, "mc_proc_*.h5")):
-                import h5py
-
-                with h5py.File(path, "r") as f:
-                    found |= {int(k) for k in f.keys()}
-            frames = sorted(found)
-        counts = merge_all(args.mc_dir, frames)
+            counts = merge_all(
+                args.mc_dir, frames if frames is not None else discover_frames(local_procs)
+            )
         print(json.dumps({str(k): v for k, v in counts.items()}))
         return 0
 
     from .config import HydroSim
-    from .driver import default_synthetic_factory, merge_rank_outputs, run_rank
+    from .driver import (
+        default_synthetic_factory, merge_rank_outputs, run_elastic, run_rank,
+    )
     from .io.hydro import HydroPaths
     from .io.mcpar import read_mcpar
 
@@ -193,12 +206,20 @@ def main(argv=None):
         if cfg.sim_switch is HydroSim.SYNTHETIC
         else None
     )
-    work = run_rank(
-        cfg, par, paths, rank=args.rank, num_ranks=args.num_ranks,
-        last_frame_override=args.last_frame, chunk_rounds=args.chunk_rounds,
-        synthetic_frame_factory=factory, ph_weight=args.ph_weight,
-    )
-    if args.merge:
+    if args.elastic:
+        works = run_elastic(
+            cfg, par, paths, rank=args.rank, num_ranks=args.num_ranks,
+            last_frame_override=args.last_frame, chunk_rounds=args.chunk_rounds,
+            synthetic_frame_factory=factory, ph_weight=args.ph_weight,
+        )
+        work = works[-1] if works else None
+    else:
+        work = run_rank(
+            cfg, par, paths, rank=args.rank, num_ranks=args.num_ranks,
+            last_frame_override=args.last_frame, chunk_rounds=args.chunk_rounds,
+            synthetic_frame_factory=factory, ph_weight=args.ph_weight,
+        )
+    if args.merge and work is not None:
         counts = merge_rank_outputs(work, par, last_frame=args.last_frame)
         print(json.dumps({str(k): v for k, v in counts.items()}))
     return 0

@@ -158,6 +158,70 @@ def merge_all(out_dir: str, frames: Iterable[int]) -> dict:
     return {fr: merge_frame(out_dir, fr) for fr in frames}
 
 
+ALL_DATA_DIR = "ALL_DATA"
+
+
+def discover_angle_dirs(base_dir: str) -> list:
+    """Angle directories under an MC base dir, skipping ALL_DATA.
+
+    Mirrors the MERGE tool's directory scan (reference: Src/merge.c:80-161):
+    every subdirectory except ALL_DATA that contains at least one
+    mc_proc_*.h5 file counts as an angle bin's output directory.
+    """
+    dirs = []
+    for name in sorted(os.listdir(base_dir)):
+        path = os.path.join(base_dir, name)
+        if not os.path.isdir(path) or name == ALL_DATA_DIR:
+            continue
+        if glob.glob(os.path.join(path, "mc_proc_*.h5")):
+            dirs.append(path)
+    return dirs
+
+
+def discover_frames(proc_files: Iterable[str]) -> list:
+    """Sorted union of frame-group numbers across per-process files."""
+    import h5py
+
+    found = set()
+    for path in proc_files:
+        with h5py.File(path, "r") as f:
+            found |= {int(k) for k in f.keys()}
+    return sorted(found)
+
+
+def merge_across_angles(
+    base_dir: str, frames: Optional[Iterable[int]] = None
+) -> dict:
+    """Cross-angle merge: combine EVERY angle directory's per-process files
+    into ``ALL_DATA/mcdata_<frame>.h5``.
+
+    The standalone MERGE binary's job (reference: Src/merge.c:23-336): walk the
+    angle dirs (skipping ALL_DATA, :80-161), sum photon counts across all dirs
+    per frame (:275-317), and write combined files under ALL_DATA (collective
+    create at :331-336).  MPI rank groups + parallel HDF5 are replaced by a
+    serial concat per frame — the data volume is per-frame photon lists, not
+    hydro grids, so the collective machinery buys nothing here.  Resume-safe
+    through merge_frame's corruption check.  Returns {frame: photon_count}.
+    """
+    angle_dirs = discover_angle_dirs(base_dir)
+    if not angle_dirs:
+        raise FileNotFoundError(f"no angle directories with mc_proc_*.h5 under {base_dir}")
+    proc_files = []
+    for adir in angle_dirs:
+        proc_files.extend(sorted(glob.glob(os.path.join(adir, "mc_proc_*.h5"))))
+    if frames is None:
+        frames = discover_frames(proc_files)
+    out_dir = os.path.join(base_dir, ALL_DATA_DIR)
+    os.makedirs(out_dir, exist_ok=True)
+    return {
+        fr: merge_frame(
+            base_dir, fr, proc_files=proc_files,
+            out_path=os.path.join(out_dir, f"mcdata_{fr}.h5"),
+        )
+        for fr in frames
+    }
+
+
 def read_frame(path: str) -> dict:
     """Load a merged mcdata_<frame>.h5 into a dict of numpy arrays."""
     import h5py

@@ -133,6 +133,101 @@ def test_run_rank_restart_continue(tmp_path):
     assert frames == [12, 13]
 
 
+def test_cross_angle_all_data_merge(tmp_path):
+    """The standalone-MERGE equivalent: per-process files from EVERY angle
+    directory combine into ALL_DATA/mcdata_<frame>.h5 (Src/merge.c:23-336)."""
+    import h5py
+
+    from mcrat_tpu.io.photons_h5 import merge_across_angles, read_frame
+
+    par = _par()
+    paths = HydroPaths(filepath=str(tmp_path) + "/", mc_path="MC/")
+    factory = default_synthetic_factory(CFG, par, nr=128, ntheta=24)
+    # 2 ranks over 2 angle bins -> one rank per bin, different angle dirs
+    w0 = run_rank(CFG, par, paths, rank=0, num_ranks=2, chunk_rounds=0,
+                  synthetic_frame_factory=factory, progress=False)
+    w1 = run_rank(CFG, par, paths, rank=1, num_ranks=2, chunk_rounds=0,
+                  synthetic_frame_factory=factory, progress=False)
+    assert w0.mc_dir != w1.mc_dir
+    base = os.path.dirname(w0.mc_dir)
+
+    counts = merge_across_angles(base)
+    assert sorted(counts) == [10, 11, 12, 13]
+    # totals equal the sum of the two angle dirs' per-frame counts
+    for fr, total in counts.items():
+        per_dir = 0
+        for adir in (w0.mc_dir, w1.mc_dir):
+            with h5py.File(os.path.join(adir, f"mc_proc_{0 if adir == w0.mc_dir else 1}.h5")) as f:
+                if str(fr) in f:
+                    per_dir += f[str(fr)]["P0"].shape[0]
+        assert total == per_dir and total > 0
+        data = read_frame(os.path.join(base, "ALL_DATA", f"mcdata_{fr}.h5"))
+        assert len(data["P0"]) == total
+    # idempotent (the reference's corruption-check resume)
+    again = merge_across_angles(base)
+    assert again == counts
+
+    # the CLI auto-detects a base dir and routes to the cross-angle merge
+    from mcrat_tpu.cli import main as cli_main
+
+    rc = cli_main(["merge", base])
+    assert rc == 0
+
+
+def test_elastic_readoption(tmp_path):
+    """A dead 2-rank job is finished by a 1-rank job: cli run --elastic adopts
+    exactly the unfinished old ranks (reference: Src/mcrat.c:166-448, which
+    instead aborts unless the new rank count maps exactly)."""
+    import h5py
+    import jax.numpy as jnp
+
+    from mcrat_tpu import transport
+    from mcrat_tpu.driver import elastic_work_items, run_elastic
+    from mcrat_tpu.io.checkpoint import CheckpointState, save_checkpoint
+
+    par = _par()
+    paths = HydroPaths(filepath=str(tmp_path) + "/", mc_path="MC/")
+    factory = default_synthetic_factory(CFG, par, nr=128, ntheta=24)
+    # old job: rank 0 (angle bin 0) ran to completion...
+    w0 = run_rank(CFG, par, paths, rank=0, num_ranks=2, chunk_rounds=0,
+                  synthetic_frame_factory=factory, progress=False)
+    base = os.path.dirname(w0.mc_dir)
+    # ...rank 1 (angle bin 1) died mid-run: craft its interrupted checkpoint
+    w1 = decompose_work(par, 1, 2, base)
+    os.makedirs(w1.mc_dir, exist_ok=True)
+    host, _ = factory(10)
+    rng = np.random.default_rng(7)
+    arrays, _ = transport.inject_photons(
+        host, w1.r_inj, 1e50, par.min_photons, par.max_photons,
+        par.spect, w1.theta_min, w1.theta_max, par.fps, rng,
+    )
+    ph, meta = transport.photons_from_arrays(arrays, capacity=None, dtype=jnp.float64)
+    save_checkpoint(
+        w1.mc_dir, 1,
+        CheckpointState(frame=10, frm2=w1.frm2, scatt_frame=12,
+                        time_now=12 / par.fps, restart="c",
+                        weight_norm=meta.weight_norm, n_injected=meta.n_injected),
+        ph,
+    )
+
+    items = elastic_work_items(par, base, par.last_frame)
+    # only the dead rank is unfinished (rank 0 left an injection-complete marker)
+    assert [wi.old_rank for _, _, wi in items] == [1]
+
+    done = run_elastic(
+        CFG, par, paths, rank=0, num_ranks=1, chunk_rounds=0,
+        synthetic_frame_factory=factory, progress=False,
+    )
+    assert len(done) == 1 and done[0].mc_dir == w1.mc_dir
+    proc = os.path.join(w1.mc_dir, "mc_proc_1.h5")
+    with h5py.File(proc) as f:
+        frames = sorted(int(k) for k in f.keys())
+    # resumed at scatt frame 12 of inj frame 10, then ran inj frame 11 fully
+    assert frames == [11, 12, 13]
+    # nothing left to adopt afterwards
+    assert elastic_work_items(par, base, par.last_frame) == []
+
+
 def test_initialize_mode_cleans_stale_output(tmp_path):
     """Re-running an initialize job in a dirty directory must NOT double-count
     photons: the reference deletes mc_proc_*/mcdata_*/mc_chkpt_* before a fresh
