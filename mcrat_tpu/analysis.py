@@ -98,6 +98,43 @@ def light_curve(
     return np.asarray(ts), np.asarray(ls)
 
 
+def light_curve_toa(
+    data: Dict[str, np.ndarray],
+    frame: int,
+    fps: float,
+    theta_min: float,
+    theta_max: float,
+    t_bins: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Time-of-arrival light curve from ONE late merged frame.
+
+    Each photon's arrival time at a distant detector is its lab time minus its
+    projected distance along its own propagation direction,
+
+        t_obs = frame/fps - (r . p_hat) / c,
+
+    the detector convention implied by the reference's output datasets
+    (positions + four-momenta per frame, Doc/mcrat_doc.tex:362-384) and used by
+    the downstream ProcessMCRaT light curves.  Luminosity per bin is
+    sum(w E)/dt.  Returns (bin_centers_s, L_iso_erg_per_s).
+    """
+    m = _detector_mask(data, theta_min, theta_max)
+    p = np.stack([data["P1"][m], data["P2"][m], data["P3"][m]], axis=-1)
+    pos = np.stack([data["R0"][m], data["R1"][m], data["R2"][m]], axis=-1)
+    pn = np.maximum(np.linalg.norm(p, axis=-1), 1e-300)
+    proj = np.sum(pos * p, axis=-1) / pn
+    t_obs = frame / fps - proj / C_LIGHT
+    w_e = data["PW"][m] * data["P0"][m] * C_LIGHT  # photon energy E = p0 c [erg]
+    if t_bins is None:
+        lo, hi = t_obs.min(), t_obs.max()
+        pad = max((hi - lo) * 1e-6, 1e-12)
+        t_bins = np.linspace(lo, hi + pad, 51)
+    hist, edges = np.histogram(t_obs, bins=t_bins, weights=w_e)
+    widths = np.diff(edges)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    return centers, hist / widths
+
+
 def scatterings_histogram(data, bins=50):
     """Distribution of per-photon scattering counts (weighted)."""
     ns = data["NS"]

@@ -273,6 +273,35 @@ def _bilinear(table, x_grid, y_grid, x, y):
     )
 
 
+def direct_sigma_hat(e_comv, theta, n_gamma_nodes: int = 32, n_mu_nodes: int = 24):
+    """Per-lane direct evaluation of the hot cross-section integral.
+
+    The out-of-table fallback: the reference recomputes the Monte Carlo
+    integral on the fly when a lookup leaves the table
+    (interpolateThermalHotCrossSection, hot_x_section.c:545-605).  Here the
+    same [1, 1+12 theta] x [-1, 1] box is integrated by Gauss-Legendre
+    quadrature, accumulated node-by-node in a fori_loop so no (N, nodes)
+    intermediate ever materializes.
+    """
+    gx01, gw01 = np.polynomial.legendre.leggauss(n_gamma_nodes)
+    gx01 = jnp.asarray(0.5 * (gx01 + 1.0))
+    gw01 = jnp.asarray(0.5 * gw01)
+    mu_x, mu_w = _gauss_legendre(n_mu_nodes, -1.0, 1.0)
+    mu_x, mu_w = jnp.asarray(mu_x), jnp.asarray(mu_w)
+
+    def body(k, acc):
+        i, j = k // n_mu_nodes, k % n_mu_nodes
+        gamma = 1.0 + 12.0 * theta * gx01[i]
+        mj = maxwell_juttner_pdf(gamma, theta)
+        val = _boosted_xsec(e_comv, mu_x[j], gamma)
+        return acc + (0.5 * 12.0) * theta * gw01[i] * mu_w[j] * mj * val
+
+    acc = jax.lax.fori_loop(
+        0, n_gamma_nodes * n_mu_nodes, body, jnp.zeros_like(e_comv + theta)
+    )
+    return acc
+
+
 def interp_thermal(table: HotCrossSectionTable, e_comv, temp):
     """sigma_hat/sigma_T for photons of comoving energy ``e_comv`` (units of
     m_e c^2) in cells at temperature ``temp`` [K].
@@ -280,9 +309,10 @@ def interp_thermal(table: HotCrossSectionTable, e_comv, temp):
     Vectorized interpolateThermalHotCrossSection + getThermalCrossSection
     (reference: Src/optical_depth.c:132-149, hot_x_section.c:545-605): bilinear
     in (log10 eps', log10 theta), with the reference's out-of-range behavior —
-    below the theta floor the cross section is the plain KN value; inputs are
-    otherwise clamped to the table edges (the reference recomputes the integral
-    on the fly there; edge values agree to table accuracy).
+    below the theta floor the cross section is the plain KN value, and lanes
+    past any other table edge recompute the integral directly
+    (hot_x_section.c:545-605); the recompute runs under a scalar lax.cond so
+    in-range populations (the typical case) never pay for it.
     """
     from ..constants import KB_OVER_MEC2
 
@@ -290,6 +320,15 @@ def interp_thermal(table: HotCrossSectionTable, e_comv, temp):
     log_e = jnp.log10(jnp.maximum(e_comv, 1e-300))
     log_th = jnp.log10(jnp.maximum(theta, 1e-300))
     val = 10.0 ** _bilinear(table.thermal, table.log_e, table.log_t, log_e, log_th)
+    oor = (
+        (log_e < table.log_e[0]) | (log_e > table.log_e[-1]) | (log_th > table.log_t[-1])
+    )
+
+    def recompute(v):
+        exact = direct_sigma_hat(e_comv, theta)
+        return jnp.where(oor, exact, v)
+
+    val = jax.lax.cond(jnp.any(oor), recompute, lambda v: v, val)
     cold = theta < 10.0**LOG_T_MIN
     return jnp.where(cold, kn_cross_section(e_comv), val)
 

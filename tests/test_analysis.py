@@ -84,6 +84,27 @@ def test_light_curve_per_frame_luminosity():
     assert L[0] == pytest.approx(2.0 * e_erg * fps)
 
 
+def test_light_curve_toa_binning():
+    """Time-of-arrival light curve: photons further along their own direction
+    arrive EARLIER (t_obs = t_frame - r.p_hat/c), and in-bin luminosity is
+    sum(wE)/dt."""
+    fps = 5.0
+    frame = 10
+    # two photons flying at theta=0.1; the second is 1 light-second ahead
+    data = _dump([100.0, 100.0], [0.1, 0.1], [2.0, 6.0])
+    nhat = np.array([np.sin(0.1), 0.0, np.cos(0.1)])
+    data["R0"] = np.array([0.0, C_LIGHT * nhat[0]])
+    data["R1"] = np.zeros(2)
+    data["R2"] = np.array([0.0, C_LIGHT * nhat[2]])
+    bins = np.array([0.5, 1.5, 2.5])  # 1 s bins around t=1 and t=2
+    t, L = analysis.light_curve_toa(data, frame, fps, 0.0, 0.2, t_bins=bins)
+    np.testing.assert_allclose(t, [1.0, 2.0])
+    e_erg = 100.0 / ERG_TO_KEV
+    # photon 2 (ahead by 1 ls) arrives at t = 2 - 1 = 1 s; photon 1 at t = 2 s
+    assert L[0] == pytest.approx(6.0 * e_erg)
+    assert L[1] == pytest.approx(2.0 * e_erg)
+
+
 def test_scatterings_histogram_weighted():
     data = _dump([100] * 4, [0.1] * 4, [1.0, 2.0, 3.0, 4.0], ns=[0, 1, 1, 5])
     edges, hist = analysis.scatterings_histogram(data)

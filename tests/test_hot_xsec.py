@@ -51,6 +51,37 @@ def test_below_floor_returns_plain_kn(thermal_table):
     np.testing.assert_allclose(np.asarray(got), np.asarray(kn_cross_section(e)), rtol=1e-12)
 
 
+def test_out_of_range_recompute_matches_table(thermal_table):
+    """Out-of-table lanes take the direct quadrature (reference recomputes the
+    integral on the fly, hot_x_section.c:545-605): the direct integral must
+    agree with the table interior, and out-of-range energies must continue the
+    physical trend (sigma ~ const in deep Thomson, declining KN tail) instead
+    of freezing at the clamped edge value."""
+    table, _, _ = thermal_table
+    # interior agreement: direct quadrature vs bilinear table
+    e_in = jnp.asarray([1e-6, 1e-2, 1.0])
+    theta_in = jnp.asarray([1e-2, 0.3, 2.0])
+    direct = hot_xsec.direct_sigma_hat(e_in, theta_in)
+    interp = hot_xsec.interp_thermal(table, e_in, theta_in / KB_OVER_MEC2)
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(interp), rtol=3e-2)
+
+    # beyond the high-energy edge (log10 e > 6) sigma keeps FALLING; an edge
+    # clamp would return the same value for both energies
+    e_hi = jnp.asarray([10.0**6.5, 10.0**7.5])
+    th = jnp.full(e_hi.shape, 0.1)
+    got = np.asarray(hot_xsec.interp_thermal(table, e_hi, th / KB_OVER_MEC2))
+    assert got[1] < 0.5 * got[0]
+    # and tracks plain KN at these energies within the hot correction
+    kn = np.asarray(kn_cross_section(e_hi))
+    np.testing.assert_allclose(got, kn, rtol=0.6)
+
+    # beyond the hot edge (theta > 1e4) the suppression keeps deepening
+    e = jnp.asarray([1e-3, 1e-3])
+    th2 = jnp.asarray([10.0**3.9, 10.0**4.5])
+    got2 = np.asarray(hot_xsec.interp_thermal(table, e, th2 / KB_OVER_MEC2))
+    assert got2[1] < got2[0]
+
+
 def test_cache_roundtrip(thermal_table):
     table, path, cfg = thermal_table
     table2 = hot_xsec.load_or_build(cfg, path, dtype="float64")
