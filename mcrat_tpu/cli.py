@@ -102,6 +102,14 @@ def main(argv=None):
                      help="re-adopt unfinished old-rank checkpoints under this "
                           "job's --num-ranks (any size; the reference aborts "
                           "unless ranks map exactly, Src/mcrat.c:402-407)")
+    run.add_argument("--mesh", type=int, default=0,
+                     help="shard the photon axis over N devices (0 = single "
+                          "device; -1 = all visible devices)")
+    run.add_argument("--coordinator", default=None,
+                     help="multi-host coordinator address host:port "
+                          "(jax.distributed.initialize)")
+    run.add_argument("--num-hosts", type=int, default=1)
+    run.add_argument("--host-id", type=int, default=None)
 
     mrg = sub.add_parser("merge", help="merge per-process files (the MERGE tool)")
     mrg.add_argument("mc_dir",
@@ -206,18 +214,33 @@ def main(argv=None):
         if cfg.sim_switch is HydroSim.SYNTHETIC
         else None
     )
+    mesh = None
+    write_outputs = True
+    if args.mesh:
+        from .parallel.mesh import init_distributed, make_mesh
+
+        proc_idx = init_distributed(
+            coordinator=args.coordinator, num_processes=args.num_hosts,
+            process_id=args.host_id,
+        )
+        # ONE logical rank's photon axis spans the whole mesh (all hosts'
+        # devices); only host 0 writes checkpoint/photon files — the mesh
+        # replaces the reference's intra-rank OpenMP axis at pod scale.
+        write_outputs = proc_idx == 0
+        mesh = make_mesh(None if args.mesh < 0 else args.mesh)
+    kw = dict(
+        last_frame_override=args.last_frame, chunk_rounds=args.chunk_rounds,
+        synthetic_frame_factory=factory, ph_weight=args.ph_weight,
+        mesh=mesh, write_outputs=write_outputs,
+    )
     if args.elastic:
         works = run_elastic(
-            cfg, par, paths, rank=args.rank, num_ranks=args.num_ranks,
-            last_frame_override=args.last_frame, chunk_rounds=args.chunk_rounds,
-            synthetic_frame_factory=factory, ph_weight=args.ph_weight,
+            cfg, par, paths, rank=args.rank, num_ranks=args.num_ranks, **kw
         )
         work = works[-1] if works else None
     else:
         work = run_rank(
-            cfg, par, paths, rank=args.rank, num_ranks=args.num_ranks,
-            last_frame_override=args.last_frame, chunk_rounds=args.chunk_rounds,
-            synthetic_frame_factory=factory, ph_weight=args.ph_weight,
+            cfg, par, paths, rank=args.rank, num_ranks=args.num_ranks, **kw
         )
     if args.merge and work is not None:
         counts = merge_rank_outputs(work, par, last_frame=args.last_frame)

@@ -4,10 +4,25 @@ Replaces the reference's MPI runtime (MPI_Comm_split over angle bins,
 block-distributed injection frames, per-thread GSL streams; reference:
 Src/mcrat.c:146,457-479, Src/mclib.c:448-462) with a jax.sharding Mesh and
 ``shard_map`` over the photon axis.
+
+The production path, :func:`sharded_transport_frame`, runs the SAME
+chunk/compaction protocol as the single-chip ``transport.transport_frame`` —
+bounded-round device executions, one host fetch per chunk, progress callbacks,
+geometric working-set shrink for runaway tails — with every device step a
+``shard_map`` over the mesh: the fused Pallas round kernel (when the config is
+covered) or the XLA engine runs independently per shard, scattering counts are
+psum-reduced, and compacted buffers are re-balanced across shards.  Shards
+never exchange photons mid-frame, exactly like MCRaT ranks between frame
+barriers.
+
+Multi-host: call :func:`init_distributed` first (jax.distributed.initialize),
+build the mesh over ``jax.devices()`` (all hosts), and gate file I/O on
+``jax.process_index() == 0``.
 """
 from __future__ import annotations
 
 import functools
+from types import SimpleNamespace
 from typing import Optional
 
 import jax
@@ -16,9 +31,34 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
-from ..transport import FrameResult, Photons, frame_time, transport_rounds
+from ..transport import (
+    ChunkResult,
+    FrameResult,
+    Photons,
+    frame_time,
+    fused_transport_available,
+    transport_frame,
+    transport_rounds,
+    transport_rounds_fused,
+)
 
 BATCH_AXIS = "batch"
+
+
+def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Initialize multi-host JAX (the MPI_Init analogue, Src/mcrat.c:93-95).
+
+    Returns this host's process index.  No-op when already initialized or when
+    running single-process.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index()
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -55,6 +95,93 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(put, tree)
 
 
+def _pspec_like(tree):
+    return jax.tree_util.tree_map(
+        lambda x: P(BATCH_AXIS, *([None] * (x.ndim - 1))), tree
+    )
+
+
+def _rep_spec(tree):
+    return jax.tree_util.tree_map(lambda _: P(), tree)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "mesh", "stokes_on", "max_rounds", "use_fused", "interpret",
+        "s_rows", "inner_rounds", "has_xsec",
+    ),
+)
+def _sharded_chunk(
+    cfg: Config,
+    mesh: Mesh,
+    photons: Photons,
+    frame,
+    index,
+    xsec_table,
+    t_rem,
+    keys,
+    stokes_on: bool,
+    max_rounds: int,
+    use_fused: bool,
+    interpret: bool,
+    s_rows: int,
+    inner_rounds: int,
+    has_xsec: bool,
+) -> ChunkResult:
+    """One bounded-round transport chunk, shard_mapped over the photon axis.
+
+    Each shard runs its own while_loop to completion of the round budget —
+    shards in low-scattering regions finish their rounds without per-round
+    synchronization, exactly like MCRaT ranks running ahead of each other
+    between frame barriers.  n_scatt is psum-reduced, n_rounds is the pmax,
+    all_done is the global AND.
+    """
+    n_shards = mesh.devices.size
+    pspec = _pspec_like(photons)
+    xspec = _rep_spec(xsec_table) if has_xsec else P()
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(pspec, _rep_spec(frame), _rep_spec(index), xspec,
+                  P(BATCH_AXIS), P(BATCH_AXIS)),
+        out_specs=ChunkResult(
+            photons=pspec, t_rem=P(BATCH_AXIS), n_scatt=P(), n_rounds=P(),
+            all_done=P(),
+        ),
+        # The transport while_loop mixes device-varying carries (photon state,
+        # per-shard keys) with unvarying literals; skip the vma consistency
+        # checker rather than pvary-annotating every rejection-sampler carry.
+        check_vma=False,
+    )
+    def step(ph_shard, frame_rep, index_rep, xsec_rep, t_shard, keys_shard):
+        if use_fused:
+            res = transport_rounds_fused(
+                cfg, ph_shard, frame_rep, index_rep, t_shard, keys_shard[0],
+                stokes_on=stokes_on, max_rounds=max_rounds,
+                inner_rounds=inner_rounds, s_rows=s_rows, interpret=interpret,
+            )
+        else:
+            res = transport_rounds(
+                cfg, ph_shard, frame_rep, index_rep, t_shard, keys_shard[0],
+                xsec_table=xsec_rep if has_xsec else None,
+                stokes_on=stokes_on, max_rounds=max_rounds,
+            )
+        done_all = jax.lax.psum(
+            res.all_done.astype(jnp.int32), BATCH_AXIS
+        ) == n_shards
+        return ChunkResult(
+            photons=res.photons,
+            t_rem=res.t_rem,
+            n_scatt=jax.lax.psum(res.n_scatt, BATCH_AXIS),
+            n_rounds=jax.lax.pmax(res.n_rounds, BATCH_AXIS),
+            all_done=done_all,
+        )
+
+    return step(photons, frame, index, xsec_table, t_rem, keys)
+
+
 def sharded_transport_frame(
     cfg: Config,
     mesh: Mesh,
@@ -65,14 +192,28 @@ def sharded_transport_frame(
     key,
     xsec_table=None,
     stokes_on: bool = True,
+    chunk_rounds: int = 64,
+    progress=None,
+    compact: bool = True,
+    fused=None,
+    interpret: bool = False,
+    s_rows: int = 128,
+    inner_rounds: int = 4,
 ) -> FrameResult:
     """Transport one hydro frame with the photon axis sharded over ``mesh``.
 
-    Each shard runs its own transport while_loop to completion — shards in
-    low-scattering regions finish early without synchronizing each round,
-    exactly like MCRaT ranks running ahead of each other between frame
-    barriers.  The per-frame scattering count is psum-reduced (the analogue of
-    the reference's frame_scatt_cnt log line, Src/mcrat.c:810-817).
+    The mesh twin of ``transport.transport_frame``: the full production
+    protocol (fused Pallas kernel where covered, bounded-round chunks, one
+    host fetch per chunk, tail compaction with shard rebalancing, progress
+    callbacks) runs with each device step a shard_map over the mesh.  This is
+    the TPU-pod replacement for the reference's whole MPI deployment story
+    (Src/mcrat.c:146,457-479; Doc/mcrat_doc.tex:214-275): the photon axis is
+    the scale axis, and aggregate throughput is per-chip throughput x mesh
+    size because shards never exchange photons.
+
+    ``chunk_rounds=0`` runs a single unbounded device execution (legacy
+    correctness-demo behavior; production wants bounded chunks for progress,
+    RPC limits, and compaction).
     """
     n_shards = mesh.devices.size
     if photons.capacity % n_shards:
@@ -80,30 +221,38 @@ def sharded_transport_frame(
             f"photon capacity {photons.capacity} not divisible by mesh size {n_shards}; "
             "use pad_capacity()"
         )
-    pspec = jax.tree_util.tree_map(lambda x: P(BATCH_AXIS, *([None] * (x.ndim - 1))), photons)
-    rspec = jax.tree_util.tree_map(lambda _: P(), frame)
-    ispec = jax.tree_util.tree_map(lambda _: P(), index)
+    if xsec_table is not None:
+        xsec_table = replicate(xsec_table, mesh)
+    has_xsec = xsec_table is not None
+    # dummy pytree standing in for the (optional) table so jit/shard_map specs
+    # stay structurally stable
+    xsec_arg = xsec_table if has_xsec else jnp.zeros((), photons.p.dtype)
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(pspec, rspec, ispec, P(), P(BATCH_AXIS)),
-        out_specs=FrameResult(photons=pspec, n_scatt=P(), n_rounds=P()),
-        # The transport while_loop mixes device-varying carries (photon state,
-        # per-shard keys) with unvarying literals; skip the vma consistency
-        # checker rather than pvary-annotating every rejection-sampler carry.
-        check_vma=False,
+    def step_fn(work_ph, work_t, sub):
+        shard_cap = work_ph.capacity // n_shards
+        if fused is not None:
+            use_fused = fused
+        else:
+            use_fused = fused_transport_available(
+                cfg, SimpleNamespace(p=work_ph.p, capacity=shard_cap), xsec_table
+            )
+        keys = jax.random.split(sub, n_shards)
+        return _sharded_chunk(
+            cfg, mesh, work_ph, frame, index, xsec_arg, work_t, keys,
+            stokes_on=stokes_on, max_rounds=chunk_rounds, use_fused=use_fused,
+            interpret=interpret, s_rows=s_rows, inner_rounds=inner_rounds,
+            has_xsec=has_xsec,
+        )
+
+    def reshard(ph, t):
+        return (
+            shard_photons(ph, mesh),
+            jax.device_put(t, NamedSharding(mesh, P(BATCH_AXIS))),
+        )
+
+    return transport_frame(
+        cfg, photons, frame, index, dt_max, key,
+        chunk_rounds=chunk_rounds, progress=progress, compact=compact,
+        min_compact_capacity=max(1024, n_shards * 128),
+        step_fn=step_fn, reshard=reshard,
     )
-    def step(ph_shard, frame_rep, index_rep, dt, keys):
-        res = transport_rounds(
-            cfg, ph_shard, frame_rep, index_rep, frame_time(ph_shard, dt), keys[0],
-            xsec_table=xsec_table, stokes_on=stokes_on,
-        )
-        return FrameResult(
-            photons=res.photons,
-            n_scatt=jax.lax.psum(res.n_scatt, BATCH_AXIS),
-            n_rounds=jax.lax.pmax(res.n_rounds, BATCH_AXIS),
-        )
-
-    keys = jax.random.split(key, n_shards)
-    return step(photons, frame, index, jnp.asarray(dt_max), keys)

@@ -804,6 +804,8 @@ def transport_frame(
     compact: bool = True,
     min_compact_capacity: int = 1024,
     fused=None,
+    step_fn=None,
+    reshard=None,
 ) -> FrameResult:
     """Advance the whole population through one hydro-frame time window.
 
@@ -824,6 +826,12 @@ def transport_frame(
     1e4+ times (the effect the reference fights manually with mcrat_msp.sh) —
     dominates frame wall time.  Buffer capacities stay a geometric sequence so
     only O(log N) distinct shapes ever compile.
+
+    ``step_fn(photons, t_rem, key) -> ChunkResult`` overrides the device step;
+    parallel.mesh uses it to run the same chunk/compaction protocol with every
+    step sharded over a device mesh.  ``reshard(photons, t_rem)`` is applied
+    after each compaction gather so a mesh caller can rebalance the shrunken
+    buffer across its devices.
     """
     t_rem = frame_time(photons, dt_max)
     n_scatt_total = 0
@@ -835,20 +843,23 @@ def transport_frame(
 
     while True:
         key, sub = jax.random.split(key)
-        use_fused = (
-            fused if fused is not None
-            else fused_transport_available(cfg, work_ph, xsec_table)
-        )
-        if use_fused:
-            res = transport_rounds_fused(
-                cfg, work_ph, frame, index, work_t, sub,
-                stokes_on=stokes_on, max_rounds=chunk_rounds,
-            )
+        if step_fn is not None:
+            res = step_fn(work_ph, work_t, sub)
         else:
-            res = transport_rounds(
-                cfg, work_ph, frame, index, work_t, sub,
-                xsec_table=xsec_table, stokes_on=stokes_on, max_rounds=chunk_rounds,
+            use_fused = (
+                fused if fused is not None
+                else fused_transport_available(cfg, work_ph, xsec_table)
             )
+            if use_fused:
+                res = transport_rounds_fused(
+                    cfg, work_ph, frame, index, work_t, sub,
+                    stokes_on=stokes_on, max_rounds=chunk_rounds,
+                )
+            else:
+                res = transport_rounds(
+                    cfg, work_ph, frame, index, work_t, sub,
+                    xsec_table=xsec_table, stokes_on=stokes_on, max_rounds=chunk_rounds,
+                )
         work_ph, work_t = res.photons, res.t_rem
         # ONE host<->device fetch per chunk: each separate int()/bool() sync
         # is a full tunnel round-trip (~50 ms over axon), which dominated the
@@ -894,6 +905,8 @@ def transport_frame(
                     weight=jnp.where(pad_mask, 0.0, sub_ph.weight),
                     ptype=jnp.where(pad_mask, int(PhotonType.NULL), sub_ph.ptype),
                 )
+                if reshard is not None:
+                    sub_ph, t_gather = reshard(sub_ph, t_gather)
                 work_ph, work_t = sub_ph, t_gather
 
     # final write-back
