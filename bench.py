@@ -1,11 +1,16 @@
-"""Headline benchmark: photon scatterings/sec on one chip.
+"""Benchmark matrix: photon scatterings/sec on one chip, per operating point.
 
-Runs the flagship analytic spherical-outflow config (BASELINE.json config #1)
-in float32 on the default JAX platform (the real TPU chip under the driver) and
-prints ONE JSON line:
+Prints ONE JSON line per operating point; the LAST line is the headline metric
+(flagship 2-D cylindrical outflow, DIRECT tau, Stokes on — BASELINE.json
+config #1):
 
     {"metric": "photon_scatterings_per_sec_per_chip", "value": N,
      "unit": "scatterings/s", "vs_baseline": R}
+
+Secondary points expose fallback-path regressions that the flagship alone
+cannot see (VERDICT round 2, weak #6): Stokes off, TABLE-mode hot cross
+sections, TABLE+nonthermal electrons, 3-D Cartesian, and a mesh-of-1 sharded
+run (shard_map wrapper overhead vs the direct path).
 
 vs_baseline compares against the measured C-reference throughput recorded in
 reference_baseline.json (created by tools/measure_reference.py if the C
@@ -22,6 +27,144 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _emit(metric, rate, res, arrays, elapsed, vs=None):
+    import jax
+
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": rate,
+                "unit": "scatterings/s",
+                "vs_baseline": vs,
+                "detail": {
+                    "n_photons": int(len(arrays["weight"])),
+                    "n_scatt": int(res.n_scatt),
+                    "n_rounds": int(res.n_rounds),
+                    "elapsed_s": elapsed,
+                    "platform": jax.devices()[0].platform,
+                },
+            }
+        ),
+        flush=True,
+    )
+    return rate
+
+
+def _cylindrical_problem(cfg, hot=False, n_min=600_000, n_max=1_400_000, seed=0):
+    """The uniform cylindrical-outflow benchmark frame (reference:
+    Src/analytic_outflows.c:7-68): Gamma=100, constant density/temperature —
+    per-photon event counts are balanced, so the number measures engine
+    throughput, not the serial tail of one runaway photon."""
+    from mcrat_tpu import transport
+    from mcrat_tpu.config import Spectrum
+    from mcrat_tpu.grid import build_rectilinear_index, frame_from_numpy
+    from mcrat_tpu.models.analytic import apply_simulation_type, make_grid_2d
+
+    r0_edges = np.linspace(0.0, 3.2e11, 161)
+    r1_edges = np.linspace(1.8e12, 2.9e12, 513)
+    host = frame_from_numpy(cfg, make_grid_2d(cfg, r0_edges, r1_edges))
+    apply_simulation_type(host)
+    if hot:
+        # theta ~ 0.07: TABLE-mode sigma_hat measurably below Thomson
+        host.temp[:] = 5e8
+    idx = build_rectilinear_index(r0_edges, r1_edges, dtype="float32")
+    rng = np.random.default_rng(seed)
+    arrays, _ = transport.inject_photons(
+        host, r_inj=2e12, ph_weight=1e50,
+        # ~1M photons saturates the chip (throughput plateaus: 3.0M scatt/s at
+        # 64k lanes, 7.6M at 1M, 7.4M at 2M); this is also a realistic
+        # production per-chip batch (the reference's whole Lundman validation
+        # run was ~6e5 photons, Doc/mcrat_doc.tex:553)
+        min_photons=n_min, max_photons=n_max,
+        spect=Spectrum.BLACKBODY, theta_min=0.0, theta_max=np.pi / 30,
+        fps=5.0, rng=rng,
+    )
+    return host, idx, arrays
+
+
+def _cartesian3d_problem(cfg, n_min=600_000, n_max=1_400_000, seed=0):
+    from mcrat_tpu import transport
+    from mcrat_tpu.config import Spectrum
+    from mcrat_tpu.grid import build_rectilinear_index, frame_from_numpy
+    from mcrat_tpu.models.analytic import apply_simulation_type
+
+    ex = np.linspace(-4e11, 4e11, 65)
+    ey = np.linspace(-4e11, 4e11, 65)
+    ez = np.linspace(1.8e12, 2.9e12, 65)
+    cx = 0.5 * (ex[:-1] + ex[1:])
+    cy = 0.5 * (ey[:-1] + ey[1:])
+    cz = 0.5 * (ez[:-1] + ez[1:])
+    X, Y, Z = np.meshgrid(cx, cy, cz, indexing="ij")
+    DX = np.broadcast_to(np.diff(ex)[:, None, None], X.shape)
+    DY = np.broadcast_to(np.diff(ey)[None, :, None], Y.shape)
+    DZ = np.broadcast_to(np.diff(ez)[None, None, :], Z.shape)
+    n = X.size
+    host_arrays = dict(
+        r0=X.ravel(), r1=Y.ravel(), r2=Z.ravel(),
+        dr0=DX.ravel(), dr1=DY.ravel(), dr2=DZ.ravel(),
+        v0=np.zeros(n), v1=np.zeros(n), v2=np.zeros(n),
+        dens=np.ones(n), pres=np.ones(n),
+    )
+    host = frame_from_numpy(cfg, host_arrays)
+    apply_simulation_type(host)
+    idx = build_rectilinear_index(ex, ey, ez, dtype="float32")
+    rng = np.random.default_rng(seed)
+    arrays, _ = transport.inject_photons(
+        host, r_inj=2e12, ph_weight=1e50, min_photons=n_min, max_photons=n_max,
+        spect=Spectrum.BLACKBODY, theta_min=0.0, theta_max=np.pi / 30,
+        fps=5.0, rng=rng,
+    )
+    return host, idx, arrays
+
+
+def _time_frame(cfg, host, idx, arrays, key_seed, xsec_table=None,
+                stokes_on=True, mesh=None):
+    """Warm-up + timed transport_frame; returns (rate, res, elapsed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcrat_tpu import transport
+    from mcrat_tpu.ops.rng import make_key
+
+    photons, _ = transport.photons_from_arrays(arrays, capacity=None, dtype=jnp.float32)
+    frame = host.to_device(dtype=jnp.float32)
+    dt_max = jnp.float32(1.0 / 5.0)
+    if mesh is not None:
+        from mcrat_tpu.parallel import pad_capacity, shard_photons, sharded_transport_frame
+        from mcrat_tpu.parallel.mesh import replicate
+
+        cap = pad_capacity(photons.capacity, mesh.devices.size)
+        if cap != photons.capacity:
+            grown = transport.empty_photons(cap, photons.p.dtype)
+            photons = jax.tree_util.tree_map(
+                lambda g, p: g.at[: p.shape[0]].set(p), grown, photons
+            )
+        photons = shard_photons(photons, mesh)
+        frame = replicate(frame, mesh)
+        idx = replicate(idx, mesh)
+
+        def run(seed):
+            return sharded_transport_frame(
+                cfg, mesh, photons, frame, idx, dt_max, make_key(seed),
+                xsec_table=xsec_table, stokes_on=stokes_on, chunk_rounds=64,
+            )
+    else:
+        def run(seed):
+            return transport.transport_frame(
+                cfg, photons, frame, idx, dt_max, make_key(seed),
+                xsec_table=xsec_table, stokes_on=stokes_on, chunk_rounds=64,
+            )
+
+    res = run(key_seed)  # warm-up: compiles every compaction capacity
+    jax.block_until_ready(res.photons)
+    t0 = time.perf_counter()
+    res = run(key_seed + 1)
+    jax.block_until_ready(res.photons)
+    elapsed = time.perf_counter() - t0
+    return int(res.n_scatt) / elapsed, res, elapsed
+
+
 def main():
     import jax
 
@@ -32,93 +175,139 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
-    import jax.numpy as jnp
 
-    from mcrat_tpu import transport
-    from mcrat_tpu.config import Config, Dims, Geometry, SimType, Spectrum
-    from mcrat_tpu.grid import build_rectilinear_index
-    from mcrat_tpu.models.analytic import synthetic_spherical_frame
-
-    # Cylindrical-outflow validation config (reference: Src/analytic_outflows.c:7-68):
-    # uniform Gamma=100 flow with constant density/temperature, so per-photon
-    # event counts are balanced and the number measures engine throughput, not
-    # the serial tail of one runaway photon.
-    cfg = Config(
-        dims=Dims.TWO,
-        geometry=Geometry.CYLINDRICAL,
-        simulation_type=SimType.CYLINDRICAL_OUTFLOW,
-        dtype="float32",
+    from mcrat_tpu.config import (
+        Config, Dims, Geometry, NonthermalDist, SimType, TauCalculation,
     )
-    r0_edges = np.linspace(0.0, 3.2e11, 161)  # cylindrical radius
-    r1_edges = np.linspace(1.8e12, 2.9e12, 513)  # z along the jet
-    from mcrat_tpu.models.analytic import make_grid_2d, apply_simulation_type
-    from mcrat_tpu.grid import frame_from_numpy
+    from mcrat_tpu.ops import hot_xsec
 
-    host = frame_from_numpy(cfg, make_grid_2d(cfg, r0_edges, r1_edges))
-    apply_simulation_type(host)
-    idx = build_rectilinear_index(r0_edges, r1_edges, dtype="float32")
-    rng = np.random.default_rng(0)
-    arrays, _ = transport.inject_photons(
-        host, r_inj=2e12, ph_weight=1e50,
-        # ~1M photons saturates the chip (throughput plateaus: 3.0M scatt/s at
-        # 64k lanes, 7.6M at 1M, 7.4M at 2M); this is also a realistic
-        # production per-chip batch (the reference's whole Lundman validation
-        # run was ~6e5 photons, Doc/mcrat_doc.tex:553)
-        min_photons=600_000, max_photons=1_400_000,
-        spect=Spectrum.BLACKBODY, theta_min=0.0, theta_max=np.pi / 30,
-        fps=5.0, rng=rng,
-    )
-    photons, _ = transport.photons_from_arrays(arrays, capacity=None, dtype=jnp.float32)
-    frame = host.to_device(dtype=jnp.float32)
-    from mcrat_tpu.ops.rng import make_key
-    key = make_key(0)
-    dt_max = jnp.float32(1.0 / 5.0)
-
-    # warm-up: full frame once — compiles the transport kernel for every
-    # compaction capacity (cached persistently for later runs)
-    res = transport.transport_frame(
-        cfg, photons, frame, idx, dt_max, key, chunk_rounds=64
-    )
-    jax.block_until_ready(res.photons)
-
-    # timed run, chunked so each device execution stays under RPC limits
-    t0 = time.perf_counter()
-    res = transport.transport_frame(
-        cfg, photons, frame, idx, dt_max, make_key(1), chunk_rounds=64
-    )
-    jax.block_until_ready(res.photons)
-    elapsed = time.perf_counter() - t0
-
-    n_scatt = int(res.n_scatt)
-    rate = n_scatt / elapsed
-
-    vs = None
+    vs_ref = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "reference_baseline.json")
     if os.path.exists(base_path):
         try:
-            base = json.load(open(base_path))
-            ref_rate = base.get("scatterings_per_sec")
-            if ref_rate:
-                vs = rate / ref_rate
+            ref_rate = json.load(open(base_path)).get("scatterings_per_sec")
         except Exception:
-            pass
+            ref_rate = None
+    else:
+        ref_rate = None
 
-    print(
-        json.dumps(
-            {
-                "metric": "photon_scatterings_per_sec_per_chip",
-                "value": rate,
-                "unit": "scatterings/s",
-                "vs_baseline": vs,
-                "detail": {
-                    "n_photons": int(len(arrays["weight"])),
-                    "n_scatt": n_scatt,
-                    "n_rounds": int(res.n_rounds),
-                    "elapsed_s": elapsed,
-                    "platform": jax.devices()[0].platform,
-                },
-            }
+    cfg = Config(
+        dims=Dims.TWO, geometry=Geometry.CYLINDRICAL,
+        simulation_type=SimType.CYLINDRICAL_OUTFLOW, dtype="float32",
+    )
+    full_matrix = os.environ.get("MCRAT_TPU_BENCH_MATRIX", "1") != "0"
+
+    if full_matrix:
+        host, idx, arrays = _cylindrical_problem(cfg)
+
+        # Stokes off
+        rate, res, el = _time_frame(cfg, host, idx, arrays, 10, stokes_on=False)
+        _emit("scatterings_per_sec_stokes_off", rate, res, arrays, el)
+
+        # TABLE-mode hot cross sections (hot frame so sigma_hat < 1)
+        cfg_tab = Config(
+            dims=Dims.TWO, geometry=Geometry.CYLINDRICAL,
+            simulation_type=SimType.CYLINDRICAL_OUTFLOW, dtype="float32",
+            tau_calculation=TauCalculation.TABLE,
         )
+        table = hot_xsec.load_or_build(
+            cfg_tab, os.path.join(cache_dir, "bench_xsec_th.npz"), dtype="float32"
+        )
+        host_h, idx_h, arrays_h = _cylindrical_problem(cfg_tab, hot=True, seed=2)
+        rate, res, el = _time_frame(cfg_tab, host_h, idx_h, arrays_h, 20, xsec_table=table)
+        _emit("scatterings_per_sec_table_mode", rate, res, arrays_h, el)
+
+        # TABLE + nonthermal powerlaw electrons
+        cfg_nt = Config(
+            dims=Dims.TWO, geometry=Geometry.CYLINDRICAL,
+            simulation_type=SimType.CYLINDRICAL_OUTFLOW, dtype="float32",
+            tau_calculation=TauCalculation.TABLE,
+            nonthermal_e_dist=NonthermalDist.POWERLAW,
+            powerlaw_index=2.5, gamma_min=1.0, gamma_max=100.0,
+        )
+        table_nt = hot_xsec.load_or_build(
+            cfg_nt, os.path.join(cache_dir, "bench_xsec_nt.npz"), dtype="float32"
+        )
+        from mcrat_tpu.ops import cyclosynch
+
+        host_n, idx_n, arrays_n = _cylindrical_problem(cfg_nt, hot=True, seed=3)
+        host_n.nonthermal_dens = cyclosynch.nonthermal_electron_dens(cfg_nt, host_n)
+        rate, res, el = _time_frame(cfg_nt, host_n, idx_n, arrays_n, 30, xsec_table=table_nt)
+        _emit("scatterings_per_sec_nonthermal", rate, res, arrays_n, el)
+
+        # 3-D Cartesian
+        cfg_3d = Config(
+            dims=Dims.THREE, geometry=Geometry.CARTESIAN,
+            simulation_type=SimType.CYLINDRICAL_OUTFLOW, dtype="float32",
+        )
+        host_3, idx_3, arrays_3 = _cartesian3d_problem(cfg_3d, seed=4)
+        rate, res, el = _time_frame(cfg_3d, host_3, idx_3, arrays_3, 40)
+        _emit("scatterings_per_sec_3d_cartesian", rate, res, arrays_3, el)
+
+        # mesh-of-1 sharded wrapper (must be within ~10% of the direct path)
+        from mcrat_tpu.parallel import make_mesh
+
+        mesh1 = make_mesh(1)
+        rate, res, el = _time_frame(cfg, host, idx, arrays, 50, mesh=mesh1)
+        _emit("scatterings_per_sec_sharded_mesh1", rate, res, arrays, el)
+
+        # cyclo-synchrotron ON, end-to-end through the driver (pool emission,
+        # promotion/replenishment, rebinning, absorption are frame-boundary
+        # work the transport-only points cannot see)
+        import tempfile
+
+        from mcrat_tpu.config import BFieldCalc, McPar, Spectrum
+        from mcrat_tpu.driver import default_synthetic_factory, run_rank
+        from mcrat_tpu.io.hydro import HydroPaths
+
+        cfg_cs = Config(
+            dims=Dims.TWO, geometry=Geometry.SPHERICAL,
+            simulation_type=SimType.CYLINDRICAL_OUTFLOW, dtype="float32",
+            cyclosynchrotron=True, b_field_calc=BFieldCalc.TOTAL_E, epsilon_b=0.5,
+        )
+        par_cs = McPar(
+            fps=5.0, last_frame=12, r0_domain=(1e12, 5e13), r1_domain=(0.0, 1.0),
+            r2_domain=(0.0, 0.0), theta_min_deg=0.0, theta_max_deg=6.0,
+            n_theta_bins=1, frm0=(10,), frm2=(10,), inj_radius=(8e12,),
+            spect=Spectrum.BLACKBODY, min_photons=150_000, max_photons=400_000,
+            restart="i",
+        )
+        tmp_cs = tempfile.mkdtemp()
+        paths_cs = HydroPaths(filepath=tmp_cs + "/", mc_path="MC/")
+        factory = default_synthetic_factory(cfg_cs, par_cs, nr=256, ntheta=48)
+        t0 = time.perf_counter()
+        run_rank(
+            cfg_cs, par_cs, paths_cs, rank=0, num_ranks=1, chunk_rounds=64,
+            synthetic_frame_factory=factory, progress=False,
+        )
+        el_cs = time.perf_counter() - t0
+        import h5py
+
+        total_ns = 0.0
+        with h5py.File(os.path.join(tmp_cs, "MC", "0-6", "mc_proc_0.h5")) as f:
+            last = str(max(int(k) for k in f.keys()))
+            total_ns = float(np.sum(f[last]["NS"]))
+        print(
+            json.dumps(
+                {
+                    "metric": "scatterings_per_sec_cyclosynch_e2e",
+                    "value": total_ns / el_cs,
+                    "unit": "scatterings/s",
+                    "vs_baseline": None,
+                    "detail": {"elapsed_s": el_cs, "total_scatt": total_ns,
+                               "frames": 3},
+                }
+            ),
+            flush=True,
+        )
+    else:
+        host, idx, arrays = _cylindrical_problem(cfg)
+
+    # headline LAST: flagship config (the driver parses the final JSON line)
+    rate, res, el = _time_frame(cfg, host, idx, arrays, 0)
+    _emit(
+        "photon_scatterings_per_sec_per_chip", rate, res, arrays, el,
+        vs=(rate / ref_rate if ref_rate else None),
     )
 
 

@@ -93,18 +93,30 @@ class HydroFrame:
         return jnp.stack([bx, by, bz], axis=-1)
 
 
-# Row layout of HydroFrame.packed (padded to 16 for clean TPU sublane tiling).
-# For 3-D configs v0..v2 hold the fluid velocity ALREADY in MCRaT Cartesian
-# (it is per-cell constant there, so to_device pre-transforms it); in 2-D/2.5-D
-# they stay in the hydro basis and the azimuth comes from the photon position.
-# sin1/cos1 cache sin/cos of the cell's angular r1 coordinate so the 2-D
-# spherical hot path needs no per-photon trig.
+# Row layout of HydroFrame.packed (padded to a multiple of 8 for clean TPU
+# sublane tiling).  For 3-D configs v0..v2 hold the fluid velocity ALREADY in
+# MCRaT Cartesian (it is per-cell constant there, so to_device pre-transforms
+# it); in 2-D/2.5-D they stay in the hydro basis and the azimuth comes from
+# the photon position.  sin1/cos1 cache sin/cos of the cell's angular r1
+# coordinate (theta in spherical, phi in 3-D polar) so the membership and
+# fluid-basis hot paths need no per-photon inverse trig; 3-D SPHERICAL grids
+# additionally cache sin2/cos2 of the cell's azimuth (its phi membership test
+# runs in cosine space too), widening the packed matrix from 16 to 24 rows
+# for that geometry only.
 PCOL = dict(
     r0=0, r1=1, r2=2, dr0=3, dr1=4, dr2=5,
     v0=6, v1=7, v2=8, gamma=9, dens_lab=10, temp=11, nonthermal_dens=12,
     sin1=13, cos1=14,
+    sin2=16, cos2=17,  # 3-D spherical only (rows 16+ absent otherwise)
 )
 PACKED_WIDTH = 16
+
+
+def packed_width(cfg: Config) -> int:
+    """Rows in HydroFrame.packed for this config (16, or 24 for 3-D spherical)."""
+    if cfg.dims is Dims.THREE and cfg.geometry is Geometry.SPHERICAL:
+        return 24
+    return PACKED_WIDTH
 
 
 def fluid_beta_from_rows(cfg: Config, rows, ph_x, ph_y):
@@ -254,7 +266,7 @@ class HydroFrameHost:
         def put(a):
             return jnp.asarray(np.asarray(a), dtype=dt)
 
-        packed = np.zeros((PACKED_WIDTH, n))
+        packed = np.zeros((packed_width(self.cfg), n))
         if self.cfg.dims is Dims.THREE:
             # 3-D: the Cartesian fluid velocity is per-cell constant, so the
             # hot path never needs a coordinate transform — pre-apply it here.
@@ -272,6 +284,8 @@ class HydroFrameHost:
             nonthermal_dens=nt,
             sin1=np.sin(self.r1), cos1=np.cos(self.r1),
         )
+        if packed.shape[0] > PACKED_WIDTH:
+            cols.update(sin2=np.sin(self.r2), cos2=np.cos(self.r2))
         for name, val in cols.items():
             packed[PCOL[name], :] = val
         return HydroFrame(

@@ -111,10 +111,12 @@ def build_thermal_table(n_gamma_nodes: int = 96, n_mu_nodes: int = 64) -> tuple:
 
     rows = []
     for e in eps:
-        rows.append(np.asarray(entry_for_eps(jnp.float64(e))))
+        rows.append(np.asarray(entry_for_eps(jnp.float64(e)), dtype=np.float64))
     table = np.stack(rows, axis=0)  # (E, T)
-    # clip away quadrature noise before taking logs
-    table = np.maximum(table, 1e-300)
+    # clip away quadrature noise before taking logs; the floor must survive a
+    # float32 cast (1e-300 underflows to 0 there, and log10(0) = -inf poisons
+    # the bilinear interpolation with -inf * 0 = NaN at patch corners)
+    table = np.maximum(table, 1e-30)
     return log_e, log_t, np.log10(table)
 
 
@@ -161,9 +163,10 @@ def build_nonthermal_table(cfg: Config, n_gamma_nodes: int = 128, n_mu_nodes: in
             inner = jnp.sum(val * jnp.asarray(mu_w)[None, :], axis=-1)  # (G,)
             return 0.5 * jnp.sum(pdf * inner * jnp.asarray(g_w))
 
-        cols.append(np.asarray([col(jnp.float64(e)) for e in eps]))
+        cols.append(np.asarray([col(jnp.float64(e)) for e in eps], dtype=np.float64))
     table = np.stack(cols, axis=-1)
-    return log_e, np.log10(np.maximum(table, 1e-300))
+    # 1e-30 floor: float32-safe (see build_thermal_table)
+    return log_e, np.log10(np.maximum(table, 1e-30))
 
 
 # ---------------------------------------------------------------------------
@@ -171,7 +174,7 @@ def build_nonthermal_table(cfg: Config, n_gamma_nodes: int = 128, n_mu_nodes: in
 # hot_x_section.c:852-1235)
 # ---------------------------------------------------------------------------
 
-CACHE_VERSION = 1
+CACHE_VERSION = 2  # v2: float32-safe 1e-30 table floor (was 1e-300 -> -inf)
 
 
 def _cache_header(cfg: Config) -> dict:
@@ -283,11 +286,12 @@ def direct_sigma_hat(e_comv, theta, n_gamma_nodes: int = 32, n_mu_nodes: int = 2
     quadrature, accumulated node-by-node in a fori_loop so no (N, nodes)
     intermediate ever materializes.
     """
+    dt = jnp.result_type(e_comv, theta)
     gx01, gw01 = np.polynomial.legendre.leggauss(n_gamma_nodes)
-    gx01 = jnp.asarray(0.5 * (gx01 + 1.0))
-    gw01 = jnp.asarray(0.5 * gw01)
+    gx01 = jnp.asarray(0.5 * (gx01 + 1.0), dtype=dt)
+    gw01 = jnp.asarray(0.5 * gw01, dtype=dt)
     mu_x, mu_w = _gauss_legendre(n_mu_nodes, -1.0, 1.0)
-    mu_x, mu_w = jnp.asarray(mu_x), jnp.asarray(mu_w)
+    mu_x, mu_w = jnp.asarray(mu_x, dtype=dt), jnp.asarray(mu_w, dtype=dt)
 
     def body(k, acc):
         i, j = k // n_mu_nodes, k % n_mu_nodes

@@ -17,8 +17,15 @@ pre-move cell's properties, exactly like the XLA path (and the reference,
 which samples each free path from the starting cell and never stops photons at
 cell boundaries: Src/mclib.c:617-714, 1054-1100).
 
-Scope: thermal electrons + DIRECT tau (sigma_hat = 1); the nonthermal/TABLE
-paths fall back to the XLA implementation (transport.transport_rounds).
+Scope: thermal electrons with DIRECT tau (sigma_hat = 1) run fully in-kernel;
+TABLE-mode hot cross sections and nonthermal electron populations are ALSO
+covered via two auxiliary per-lane planes computed by XLA at each invocation
+boundary (the biased total tau-rate coefficient and the thermal selection
+probability — both functions of the photon's comoving energy and its cell
+only).  Those quantities change exactly when the photon scatters (new eps')
+or changes cell, so in aux mode a lane STALLS after its first scatter — the
+same protocol as the cell-exit stall — and the XLA caller refreshes the
+planes before the next invocation.  No approximation is involved.
 Physics is a component-form transcription of ops.{fourvec,stokes,electrons,
 compton} — every formula cites its batched twin, and
 tests/test_pallas_round.py checks the two paths agree in distribution.
@@ -60,6 +67,12 @@ FLAG_POOL = 2
 FLAG_INGRID = 4
 OUT_STALLED = 1
 OUT_PROMOTED = 2
+
+# aux plane layout (TABLE / nonthermal mode): per-lane quantities XLA
+# recomputes at every invocation boundary (see module docstring)
+AUX_NSIG = 0  # biased total tau-rate coefficient [1/cm] before (1 - beta mu)
+AUX_PTH = 1  # probability the scattering electron is thermal
+N_AUX = 2
 
 # row plane indices — MUST match grid.PCOL
 from ..grid import PCOL  # noqa: E402
@@ -198,10 +211,10 @@ def _stokes_rotation(bx, by, bz, vx, vy, vz, wx, wy, wz, q, u):
 _THETA_MB_SWITCH = 1.6863699656e-3
 
 
-def _sample_thermal_electron(rng, shape, temp, c0, c1, c2, c3, el_iters: int):
-    """Component form of ops.electrons.sample_thermal_electron: Maxwell-
-    Juttner (gamma, gamma beta) via the Gamma-mixture envelope, relative angle
-    inverse-CDF, rotation into the photon's axes.
+def _thermal_gamma_beta(rng, shape, temp, el_iters: int):
+    """Thermal (gamma, gamma beta) draw — component form of
+    ops.electrons.sample_thermal_gamma_beta (Maxwell-Juttner via the
+    Gamma-mixture envelope).
 
     Blocks whose every lane is nonrelativistic (T < 1e7 K, the reference's own
     sampler switch, Src/electron.c:206-237) take a Maxwell-Boltzmann speed
@@ -258,7 +271,14 @@ def _sample_thermal_electron(rng, shape, temp, c0, c1, c2, c3, el_iters: int):
         return gamma, gb
 
     all_cold = jnp.all(theta < _THETA_MB_SWITCH)
-    gamma, gb = jax.lax.cond(all_cold, mb_draw, mj_draw)
+    return jax.lax.cond(all_cold, mb_draw, mj_draw)
+
+
+def _electron_from_gamma(rng, gamma, gb, c0, c1, c2, c3):
+    """Relative-angle draw + rotation into the photon's axes, shared by the
+    thermal and nonthermal populations (component form of
+    ops.electrons.{sample_electron_cos_theta, rotate_electron_to_photon_frame}).
+    """
     beta = gb / gamma
 
     # relative polar angle: inverse CDF of (1 - beta cos t) sin t
@@ -296,6 +316,97 @@ def _sample_thermal_electron(rng, shape, temp, c0, c1, c2, c3, el_iters: int):
     wy = c_ph * vy + s_ph * vz
     wz = -s_ph * vy + c_ph * vz
     return gamma, vx, wy, wz
+
+
+def _make_nonthermal_gamma(cfg: Config):
+    """Build the in-kernel nonthermal gamma sampler for a static config.
+
+    Component form of ops.electrons.sample_nonthermal_gamma_range: inverse-CDF
+    of the configured power law / broken power law restricted to the lane's
+    gamma subgroup (subgroup_f is the float 0-based subgroup index).  All
+    distribution constants are Python floats baked into the kernel.
+    """
+    import math
+
+    from ..config import NonthermalDist
+
+    lg_min = math.log10(cfg.gamma_min)
+    lg_max = math.log10(cfg.gamma_max)
+    dg = (lg_max - lg_min) / cfg.n_gamma
+    LN10 = math.log(10.0)
+
+    if cfg.nonthermal_e_dist is NonthermalDist.POWERLAW:
+        p = cfg.powerlaw_index
+        p_is_1 = abs(p - 1.0) < 1e-6
+        q = 1.0 - p
+
+        def sample(rng, subgroup_f):
+            u = rng.uniform()
+            ln_lo = LN10 * (lg_min + subgroup_f * dg)
+            ln_hi = ln_lo + LN10 * dg
+            if p_is_1:
+                # gamma = g_lo (g_hi/g_lo)^u
+                return jnp.exp(ln_lo + u * (ln_hi - ln_lo))
+            # gamma^q uniform between the subgroup edges' q-powers
+            a = jnp.exp(q * ln_lo)
+            b = jnp.exp(q * ln_hi)
+            return jnp.exp((1.0 / q) * jnp.log(jnp.maximum(a + u * (b - a), _TINY)))
+
+        return sample
+
+    # broken power law: remap u through the piecewise CDF
+    p1, p2 = cfg.powerlaw_index_1, cfg.powerlaw_index_2
+    gmin, gmax, gbrk = cfg.gamma_min, cfg.gamma_max, cfg.gamma_break
+    from .electrons import broken_power_law_norm
+
+    a_norm = broken_power_law_norm(p1, p2, gmin, gmax, gbrk)
+    cont = gbrk ** (p2 - p1)
+    p1_is_1 = abs(p1 - 1.0) < 1e-6
+    p2_is_1 = abs(p2 - 1.0) < 1e-6
+
+    def seg1(hi):  # integral of g^-p1 from gmin to hi (hi traced)
+        if p1_is_1:
+            return jnp.log(hi / gmin)
+        return (jnp.exp((1.0 - p1) * jnp.log(hi)) - gmin ** (1.0 - p1)) / (1.0 - p1)
+
+    def seg2(hi):  # integral of g^-p2 from gbrk to hi
+        if p2_is_1:
+            return jnp.log(hi / gbrk)
+        return (jnp.exp((1.0 - p2) * jnp.log(hi)) - gbrk ** (1.0 - p2)) / (1.0 - p2)
+
+    f_break = a_norm * (
+        math.log(gbrk / gmin) if p1_is_1
+        else (gbrk ** (1.0 - p1) - gmin ** (1.0 - p1)) / (1.0 - p1)
+    )
+
+    def cdf(g):
+        below = a_norm * seg1(jnp.minimum(g, gbrk))
+        above = f_break + a_norm * cont * seg2(jnp.maximum(g, gbrk))
+        return jnp.where(g <= gbrk, below, above)
+
+    def inv(u):
+        if p1_is_1:
+            g_lo = gmin * jnp.exp(u / a_norm)
+        else:
+            arg = gmin ** (1.0 - p1) + (1.0 - p1) * u / a_norm
+            g_lo = jnp.exp(jnp.log(jnp.maximum(arg, _TINY)) / (1.0 - p1))
+        u2 = (u - f_break) / (a_norm * cont)
+        if p2_is_1:
+            g_hi = gbrk * jnp.exp(u2)
+        else:
+            arg2 = gbrk ** (1.0 - p2) + (1.0 - p2) * u2
+            g_hi = jnp.exp(jnp.log(jnp.maximum(arg2, _TINY)) / (1.0 - p2))
+        return jnp.where(u <= f_break, g_lo, g_hi)
+
+    def sample(rng, subgroup_f):
+        u = rng.uniform()
+        g_lo = jnp.exp(LN10 * (lg_min + subgroup_f * dg))
+        g_hi = jnp.exp(LN10 * (lg_min + (subgroup_f + 1.0) * dg))
+        f_lo = cdf(g_lo)
+        f_hi = cdf(g_hi)
+        return inv(f_lo + u * (f_hi - f_lo))
+
+    return sample
 
 
 def _kn_cross_section(e):
@@ -447,12 +558,15 @@ def _single_scatter(rng, shape, g0, e1x, e1y, e1z, c0, c1, c2, c3, q, u, v,
 
 
 def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
-                 el_iters: int, kn_iters: int, s_rows: int, interpret: bool):
+                 el_iters: int, kn_iters: int, s_rows: int, interpret: bool,
+                 use_aux: bool, nonthermal: bool):
     """Build the fused-round kernel body for a static config."""
     two_d = cfg.dims is not Dims.THREE
     geom = cfg.geometry
     dims = cfg.dims
     shape = (s_rows, LANES)
+    nt_sample = _make_nonthermal_gamma(cfg) if nonthermal else None
+    n_gamma = float(cfg.n_gamma)
 
     def fluid_beta(row, px, py):
         """grid.fluid_beta_from_rows, component form."""
@@ -486,6 +600,18 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
         inverse-trig lowering).  3-D spherical/polar (azimuthal cell widths)
         are excluded by fused_transport_available.
         """
+        def phi_in(cphi, sphi, cos_c, sin_c, half_width):
+            """|phi - c| <= h in cosine space: cos(phi - c) >= cos(h) with
+            cos(phi - c) expanded from components (no atan2; also handles the
+            0/2pi wrap that the raw AABB cannot)."""
+            return cphi * cos_c + sphi * sin_c >= jnp.cos(half_width)
+
+        def phi_components(px, py):
+            rho = jnp.sqrt(px * px + py * py)
+            has = rho > 0
+            safe = jnp.where(has, rho, 1.0)
+            return jnp.where(has, px / safe, 1.0), jnp.where(has, py / safe, 0.0)
+
         if dims is Dims.THREE:
             if geom is Geometry.CARTESIAN:
                 h0, h1, h2 = px, py, pz
@@ -498,6 +624,51 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
                     & (h2 > dom_ref[4]) & (h2 < dom_ref[5])
                 )
                 return ok
+            if geom is Geometry.SPHERICAL:
+                # (r, theta, phi): theta via the packed sin1/cos1 cache, phi
+                # via the packed sin2/cos2 cache (reference membership:
+                # Src/geometry.c:394-417 on mcratCoordinateToHydroCoordinate)
+                rho = jnp.sqrt(px * px + py * py)
+                r = jnp.sqrt(rho * rho + pz * pz)
+                inv_r = 1.0 / jnp.maximum(r, _TINY)
+                cos_th = jnp.clip(pz * inv_r, -1.0, 1.0)
+                sin_th = rho * inv_r
+                cos_dth = cos_th * row[PCOL["cos1"]] + sin_th * row[PCOL["sin1"]]
+                in_theta = cos_dth >= jnp.cos(0.5 * row[PCOL["dr1"]])
+                in_theta_dom = (cos_th < jnp.cos(dom_ref[2])) & (cos_th > jnp.cos(dom_ref[3]))
+                cphi, sphi = phi_components(px, py)
+                in_phi = phi_in(
+                    cphi, sphi, row[PCOL["cos2"]], row[PCOL["sin2"]],
+                    0.5 * row[PCOL["dr2"]],
+                )
+                # phi domain (d4, d5): cosine space around the interval center
+                mid = 0.5 * (dom_ref[4] + dom_ref[5])
+                half = 0.5 * (dom_ref[5] - dom_ref[4])
+                in_phi_dom = phi_in(cphi, sphi, jnp.cos(mid), jnp.sin(mid), half)
+                return (
+                    (2.0 * jnp.abs(r - row[PCOL["r0"]]) - row[PCOL["dr0"]] <= 0)
+                    & in_theta & in_theta_dom & in_phi & in_phi_dom
+                    & (r > dom_ref[0]) & (r < dom_ref[1])
+                )
+            if geom is Geometry.POLAR:
+                # (r_cyl, phi, z): phi is the r1 coordinate, so its trig cache
+                # is the standard sin1/cos1 pair
+                rho = jnp.sqrt(px * px + py * py)
+                cphi, sphi = phi_components(px, py)
+                in_phi = phi_in(
+                    cphi, sphi, row[PCOL["cos1"]], row[PCOL["sin1"]],
+                    0.5 * row[PCOL["dr1"]],
+                )
+                mid = 0.5 * (dom_ref[2] + dom_ref[3])
+                half = 0.5 * (dom_ref[3] - dom_ref[2])
+                in_phi_dom = phi_in(cphi, sphi, jnp.cos(mid), jnp.sin(mid), half)
+                return (
+                    (2.0 * jnp.abs(rho - row[PCOL["r0"]]) - row[PCOL["dr0"]] <= 0)
+                    & in_phi & in_phi_dom
+                    & (2.0 * jnp.abs(pz - row[PCOL["r2"]]) - row[PCOL["dr2"]] <= 0)
+                    & (rho > dom_ref[0]) & (rho < dom_ref[1])
+                    & (pz > dom_ref[4]) & (pz < dom_ref[5])
+                )
             raise ValueError(f"unsupported 3-D geometry for fused kernel: {geom}")
         if geom in (Geometry.CARTESIAN, Geometry.CYLINDRICAL):
             h0 = jnp.sqrt(px * px + py * py)
@@ -526,8 +697,12 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
             )
         raise ValueError(f"unsupported 2-D geometry for fused kernel: {geom}")
 
-    def kernel(seed_ref, dom_ref, state_ref, row_ref, flags_ref,
-               state_out_ref, oflags_ref):
+    def kernel(seed_ref, dom_ref, state_ref, row_ref, flags_ref, *rest):
+        if use_aux:
+            aux_ref, state_out_ref, oflags_ref = rest
+        else:
+            aux_ref = None
+            state_out_ref, oflags_ref = rest
         # seed_ref = [seed, n_active_blocks]: the caller partitions active
         # lanes into the leading blocks, so any block at or past
         # n_active_blocks is entirely idle — skip its compute and copy the
@@ -547,10 +722,10 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
         @pl.when(is_active_block)
         def _active_body():
             _kernel_body(pid, seed_ref, dom_ref, state_ref, row_ref,
-                         flags_ref, state_out_ref, oflags_ref)
+                         flags_ref, aux_ref, state_out_ref, oflags_ref)
 
     def _kernel_body(pid, seed_ref, dom_ref, state_ref, row_ref, flags_ref,
-                     state_out_ref, oflags_ref):
+                     aux_ref, state_out_ref, oflags_ref):
         rng = _Rng(shape, interpret)
         rng.seed(seed_ref[0], pid)
 
@@ -565,7 +740,16 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
         dens_lab = row[PCOL["dens_lab"]]
         temp = row[PCOL["temp"]]
         beta_mag = jnp.sqrt(jnp.maximum(1.0 - 1.0 / (gam * gam), 0.0))
-        n_sigma = (dens_lab * (1.0 / M_P)) * THOM_X_SECT
+        if use_aux:
+            # TABLE / nonthermal: the biased total tau coefficient (with the
+            # hot sigma_hat folded in) comes from the XLA-side interpolation;
+            # it is a function of (eps', cell) only, so it stays valid until
+            # the lane scatters or leaves its cell — both stall the lane.
+            n_sigma = aux_ref[AUX_NSIG]
+            p_th = aux_ref[AUX_PTH]
+        else:
+            n_sigma = (dens_lab * (1.0 / M_P)) * THOM_X_SECT
+            p_th = None
 
         def round_body(_, carry):
             (p0, p1, p2, p3, px, py, pz, q, u, v, t_rem, ns,
@@ -614,9 +798,23 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
                 qc, uc = _stokes_rotation(bx, by, bz, p1, p2, p3, c1, c2, c3, q, u)
             else:
                 qc, uc = q, u
-            g0, ex, ey, ez = _sample_thermal_electron(
-                rng, shape, temp, c0, c1, c2, c3, el_iters
-            )
+            g_e, gb_e = _thermal_gamma_beta(rng, shape, temp, el_iters)
+            if nonthermal:
+                # population choice from the biased cumulative optical depths
+                # (transport._tau_rate / generateSingleElectron,
+                # Src/electron.c:7-68): thermal w.p. p_th, then the subgroups
+                # in equal tau_norm-weighted slices of the remainder
+                u_pop = rng.uniform()
+                is_th = u_pop <= p_th
+                slice_w = jnp.maximum((1.0 - p_th) * (1.0 / n_gamma), _TINY)
+                sub_f = jnp.clip(
+                    jnp.floor((u_pop - p_th) / slice_w), 0.0, n_gamma - 1.0
+                )
+                g_nt = nt_sample(rng, sub_f)
+                gb_nt = jnp.sqrt(jnp.maximum(g_nt * g_nt - 1.0, 0.0))
+                g_e = jnp.where(is_th, g_e, g_nt)
+                gb_e = jnp.where(is_th, gb_e, gb_nt)
+            g0, ex, ey, ez = _electron_from_gamma(rng, g_e, gb_e, c0, c1, c2, c3)
             sc, o0, o1, o2, o3, q2, u2, v2 = _single_scatter(
                 rng, shape, g0, ex, ey, ez, c0, c1, c2, c3, qc, uc, v,
                 stokes_on, kn_iters,
@@ -643,12 +841,14 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
             promoted = jnp.maximum(promoted, (scattered & is_pool).astype(jnp.float32))
 
             # 6. post-move cell validity: stall lanes that left their cell or
-            # the domain (outer find_cell_rows re-resolves them)
+            # the domain (outer find_cell_rows re-resolves them).  In aux mode
+            # a scatter ALSO stalls the lane: its comoving energy changed, so
+            # the XLA-interpolated tau coefficient is stale until refreshed.
             in_cell = in_cell_and_domain(px, py, pz, row, dom_ref)
-            stalled = jnp.maximum(
-                stalled,
-                (act & in_grid & ~in_cell & (t_rem > 0)).astype(jnp.float32),
-            )
+            stall_now = act & in_grid & ~in_cell & (t_rem > 0)
+            if use_aux:
+                stall_now = stall_now | (scattered & (t_rem > 0))
+            stalled = jnp.maximum(stalled, stall_now.astype(jnp.float32))
             return (p0, p1, p2, p3, px, py, pz, q, u, v, t_rem, ns,
                     c0, c1, c2, c3, stalled, promoted)
 
@@ -691,7 +891,7 @@ class FusedRoundsResult(NamedTuple):
     jax.jit,
     static_argnames=(
         "cfg", "stokes_on", "inner_rounds", "el_iters", "kn_iters",
-        "s_rows", "interpret",
+        "s_rows", "interpret", "nonthermal",
     ),
 )
 def fused_rounds(
@@ -701,19 +901,23 @@ def fused_rounds(
     state,          # (N_STATE, R, 128) f32
     rows,           # (PACKED_WIDTH, R, 128) f32
     flags,          # (1, R, 128) int32
+    aux=None,       # (N_AUX, R, 128) f32 — TABLE/nonthermal per-lane planes
     stokes_on: bool = True,
     inner_rounds: int = 4,
     el_iters: int = 12,
     kn_iters: int = 16,
     s_rows: int = 128,
     interpret: bool = False,
+    nonthermal: bool = False,
 ) -> FusedRoundsResult:
     """Run ``inner_rounds`` fused transport rounds over blocked photon planes."""
     n_state, r_total, lanes = state.shape
     assert n_state == N_STATE and lanes == LANES
     assert r_total % s_rows == 0, (r_total, s_rows)
+    use_aux = aux is not None
     grid = (r_total // s_rows,)
-    kernel = _make_kernel(cfg, stokes_on, inner_rounds, el_iters, kn_iters, s_rows, interpret)
+    kernel = _make_kernel(cfg, stokes_on, inner_rounds, el_iters, kn_iters,
+                          s_rows, interpret, use_aux, nonthermal)
     nrow = rows.shape[0]
     # seed may be (1,) [seed] or (2,) [seed, n_active_blocks]; with no
     # active-block count every block computes (the pre-compaction behavior).
@@ -722,6 +926,24 @@ def fused_rounds(
         seed = jnp.concatenate(
             [seed, jnp.full((1,), grid[0], jnp.int32)])
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((N_STATE, s_rows, LANES), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nrow, s_rows, LANES), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s_rows, LANES), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [seed, domain.astype(jnp.float32), state, rows, flags]
+    if use_aux:
+        in_specs.append(
+            pl.BlockSpec((N_AUX, s_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(aux)
+
     state_out, oflags = pl.pallas_call(
         kernel,
         grid=grid,
@@ -729,16 +951,7 @@ def fused_rounds(
             jax.ShapeDtypeStruct((N_STATE, r_total, LANES), jnp.float32),
             jax.ShapeDtypeStruct((1, r_total, LANES), jnp.int32),
         ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((N_STATE, s_rows, LANES), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nrow, s_rows, LANES), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_rows, LANES), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((N_STATE, s_rows, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
@@ -746,5 +959,5 @@ def fused_rounds(
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(seed, domain.astype(jnp.float32), state, rows, flags)
+    )(*args)
     return FusedRoundsResult(state=state_out, out_flags=oflags)

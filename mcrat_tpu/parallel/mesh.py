@@ -159,6 +159,7 @@ def _sharded_chunk(
         if use_fused:
             res = transport_rounds_fused(
                 cfg, ph_shard, frame_rep, index_rep, t_shard, keys_shard[0],
+                xsec_table=xsec_rep if has_xsec else None,
                 stokes_on=stokes_on, max_rounds=max_rounds,
                 inner_rounds=inner_rounds, s_rows=s_rows, interpret=interpret,
             )

@@ -579,6 +579,7 @@ def transport_rounds_fused(
     index,
     t_rem,
     key,
+    xsec_table=None,
     stokes_on: bool = True,
     max_rounds: int = 0,
     inner_rounds: int = 4,
@@ -586,7 +587,7 @@ def transport_rounds_fused(
     interpret: bool = False,
     partition: bool = True,
 ) -> "ChunkResult":
-    """Fused-kernel twin of :func:`transport_rounds` (thermal + DIRECT tau).
+    """Fused-kernel twin of :func:`transport_rounds`.
 
     The Pallas kernel (ops.pallas_round) runs ``inner_rounds`` complete rounds
     per invocation with every intermediate in VMEM; between invocations the
@@ -595,11 +596,22 @@ def transport_rounds_fused(
     transport_rounds: a scatter uses the pre-move cell's properties, photons
     outside the grid advance on the default mean free path, pool photons
     scatter in place and are promoted to COMPTONIZED.
+
+    TABLE-mode hot cross sections and nonthermal electron populations run
+    through the same kernel via two per-lane aux planes (biased total tau
+    coefficient + thermal selection probability), interpolated here in XLA at
+    every invocation boundary; lanes stall in-kernel after a scatter so the
+    planes can never go stale (ops.pallas_round module docstring).
     """
     from .ops import pallas_round as pr
 
     dtype = photons.p.dtype
     assert dtype == jnp.float32, "fused transport path is float32-only"
+    use_aux = xsec_table is not None
+    from .config import NonthermalDist
+
+    nonthermal = cfg.nonthermal_e_dist is not NonthermalDist.OFF
+    assert not (nonthermal and not use_aux), "nonthermal fused transport needs the xsec table"
     cap = photons.capacity
     round_cap = max_rounds if max_rounds > 0 else cfg.max_rounds_per_frame
     lanes = pr.LANES
@@ -629,9 +641,46 @@ def transport_rounds_fused(
     base_seed = jax.random.randint(key, (), jnp.iinfo(jnp.int32).min,
                                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
 
-    from .grid import PACKED_WIDTH, find_cell_rows, gather_rows
+    from .grid import PCOL, find_cell_rows, gather_rows
 
-    rows0 = gather_rows(frame, cell0)  # (16, n_pad)
+    rows0 = gather_rows(frame, cell0)  # (n_prow, n_pad)
+    n_prow = rows0.shape[0]
+
+    def aux_planes(state, rows):
+        """Per-lane tau coefficient + thermal probability for the kernel.
+
+        The XLA half of the TABLE/nonthermal fused protocol: vectorized
+        _tau_rate minus the per-round fluid factor (which the kernel applies),
+        evaluated at the CURRENT comoving energy — valid for the whole
+        invocation because scatters and cell changes both stall their lane.
+        """
+        from .ops import hot_xsec
+
+        e_comv = state[pr.SP_C0].reshape(-1)
+        tiny = jnp.finfo(jnp.float32).tiny
+        sig = hot_xsec.interp_thermal(xsec_table, e_comv, rows[PCOL["temp"]])
+        n_e_lab = rows[PCOL["dens_lab"]] * (1.0 / M_P)
+        tau0 = n_e_lab * THOM_X_SECT * sig
+        if nonthermal:
+            sig_sub = hot_xsec.interp_nonthermal(xsec_table, e_comv)
+            n_nt_lab = rows[PCOL["nonthermal_dens"]] * rows[PCOL["gamma"]]
+            tau_i = (
+                n_nt_lab[:, None]
+                * xsec_table.subgroup_frac[None, :]
+                * THOM_X_SECT
+                * sig_sub
+            )
+            # biased total: tau0 + sum_i bias_i tau_i with bias_i tau_i ==
+            # tau_norm (transport._tau_rate; Src/optical_depth.c:60-112)
+            tau_norm = jnp.where(tau0 > 0, tau0, tau_i[:, 0])
+            total = tau0 + cfg.n_gamma * tau_norm
+            p_th = tau0 / jnp.maximum(total, tiny)
+        else:
+            total = tau0
+            p_th = jnp.ones_like(tau0)
+        return jnp.stack(
+            [total.reshape(r_pad, lanes), p_th.reshape(r_pad, lanes)]
+        )
 
     def cond(carry):
         state, rows, cell, alive, pool, promoted_any, orig, rounds = carry
@@ -657,8 +706,8 @@ def transport_rounds_fused(
             iota = jnp.arange(r_pad, dtype=jnp.int32)
             perm = jnp.zeros((r_pad,), jnp.int32).at[new_pos].set(iota)
             state = state[:, perm]
-            rows = rows.reshape(PACKED_WIDTH, r_pad, lanes)[:, perm].reshape(
-                PACKED_WIDTH, n_pad)
+            rows = rows.reshape(n_prow, r_pad, lanes)[:, perm].reshape(
+                n_prow, n_pad)
             cell = cell.reshape(r_pad, lanes)[perm].reshape(-1)
             alive = alive[perm]
             pool = pool[perm]
@@ -682,11 +731,13 @@ def transport_rounds_fused(
             base_seed + rounds * jnp.int32(7919),
             n_active_blocks.astype(jnp.int32),
         ])
+        aux = aux_planes(state, rows) if use_aux else None
         res = pr.fused_rounds(
             cfg, seed, frame.domain.reshape(-1),
-            state, rows.reshape(PACKED_WIDTH, r_pad, lanes), flags,
+            state, rows.reshape(n_prow, r_pad, lanes), flags,
+            aux=aux,
             stokes_on=stokes_on, inner_rounds=inner_rounds,
-            s_rows=s_rows, interpret=interpret,
+            s_rows=s_rows, interpret=interpret, nonthermal=nonthermal,
         )
         promoted = (res.out_flags[0] & pr.OUT_PROMOTED) != 0
         pool = pool & ~promoted
@@ -707,8 +758,8 @@ def transport_rounds_fused(
         inv = jnp.zeros((r_pad,), jnp.int32).at[orig].set(
             jnp.arange(r_pad, dtype=jnp.int32))
         state = state[:, inv]
-        rows = rows.reshape(PACKED_WIDTH, r_pad, lanes)[:, inv].reshape(
-            PACKED_WIDTH, n_pad)
+        rows = rows.reshape(n_prow, r_pad, lanes)[:, inv].reshape(
+            n_prow, n_pad)
         cell = cell.reshape(r_pad, lanes)[inv].reshape(-1)
         promoted_any = promoted_any[inv]
 
@@ -750,24 +801,28 @@ def transport_rounds_fused(
 def fused_transport_available(cfg: Config, photons: Photons, xsec_table) -> bool:
     """True when the Pallas fused round kernel covers this configuration.
 
-    Out of scope (falls back to transport_rounds): float64 validation runs,
-    TABLE-mode hot cross sections, nonthermal electron populations, 3-D
-    spherical/polar grids (their cell-membership test needs atan2, which the
-    Mosaic TPU compiler does not provide), non-TPU backends, and small
-    populations where kernel launch overhead beats the fusion win.
+    TABLE-mode hot cross sections and nonthermal electron populations are
+    covered (via XLA-interpolated aux planes + stall-on-scatter), as is every
+    (dims x geometry) combination: angular cell membership runs in cosine
+    space off the packed sin/cos caches, so no inverse trig is needed.  Out
+    of scope (falls back to transport_rounds): float64 validation runs,
+    non-TPU backends, and small populations where kernel launch overhead
+    beats the fusion win.
     """
-    from .config import Geometry, NonthermalDist
+    from .config import NonthermalDist
 
-    atan2_free = not (
-        cfg.dims is Dims.THREE
-        and cfg.geometry in (Geometry.SPHERICAL, Geometry.POLAR)
-    )
+    if cfg.tau_calculation is TauCalculation.TABLE or xsec_table is not None:
+        table_ok = xsec_table is not None
+        if cfg.nonthermal_e_dist is not NonthermalDist.OFF:
+            table_ok = table_ok and (
+                xsec_table.nonthermal is not None
+                and xsec_table.subgroup_frac is not None
+            )
+    else:
+        table_ok = True
     return (
         photons.p.dtype == jnp.float32
-        and cfg.tau_calculation is TauCalculation.DIRECT
-        and cfg.nonthermal_e_dist is NonthermalDist.OFF
-        and xsec_table is None
-        and atan2_free
+        and table_ok
         and jax.default_backend() == "tpu"
         and photons.capacity >= 16384
     )
@@ -853,6 +908,7 @@ def transport_frame(
             if use_fused:
                 res = transport_rounds_fused(
                     cfg, work_ph, frame, index, work_t, sub,
+                    xsec_table=xsec_table,
                     stokes_on=stokes_on, max_rounds=chunk_rounds,
                 )
             else:

@@ -167,6 +167,189 @@ def test_fused_conserves_dead_lanes():
     assert int(res.n_scatt) > 0
 
 
+@pytest.fixture(scope="module")
+def f32_tables(tmp_path_factory):
+    """Hot cross-section tables (thermal-only and +powerlaw) in float32."""
+    from mcrat_tpu.config import NonthermalDist, TauCalculation
+    from mcrat_tpu.ops import hot_xsec
+
+    d = tmp_path_factory.mktemp("xsec32")
+    cfg_th = Config(
+        dims=Dims.TWO, geometry=Geometry.CYLINDRICAL, dtype="float32",
+        simulation_type=SimType.CYLINDRICAL_OUTFLOW,
+        tau_calculation=TauCalculation.TABLE,
+    )
+    cfg_nt = Config(
+        dims=Dims.TWO, geometry=Geometry.SPHERICAL, dtype="float32",
+        simulation_type=SimType.SPHERICAL_OUTFLOW,
+        tau_calculation=TauCalculation.TABLE,
+        nonthermal_e_dist=NonthermalDist.POWERLAW,
+        powerlaw_index=2.5, gamma_min=1.0, gamma_max=100.0,
+    )
+    return (
+        cfg_th, hot_xsec.load_or_build(cfg_th, str(d / "th.npz"), dtype="float32"),
+        cfg_nt, hot_xsec.load_or_build(cfg_nt, str(d / "nt.npz"), dtype="float32"),
+    )
+
+
+def test_fused_table_mode_matches_xla(f32_tables):
+    """TABLE-mode hot cross sections through the fused kernel (aux planes +
+    stall-on-scatter) agree with the XLA engine in distribution, on a hot
+    frame where sigma_hat deviates measurably from Thomson."""
+    cfg_th, table, _, _ = f32_tables
+    r0e = np.linspace(0.0, 3.2e11, 33)
+    r1e = np.linspace(1.8e12, 2.9e12, 65)
+    host = frame_from_numpy(cfg_th, make_grid_2d(cfg_th, r0e, r1e))
+    apply_simulation_type(host)
+    host.temp[:] = 5e8  # theta ~ 0.07: hot sigma_hat < 1 for BB photons
+    idx = build_rectilinear_index(r0e, r1e, dtype="float32")
+    rng = np.random.default_rng(23)
+    arrays, _ = transport.inject_photons(
+        host, r_inj=2e12, ph_weight=1e50, min_photons=1500, max_photons=4000,
+        spect=Spectrum.BLACKBODY, theta_min=0.0, theta_max=np.pi / 30,
+        fps=5.0, rng=rng,
+    )
+    photons, _ = transport.photons_from_arrays(arrays, capacity=None, dtype=jnp.float32)
+    frame = host.to_device(dtype=jnp.float32)
+    t_rem = transport.frame_time(photons, jnp.float32(0.05))
+    res_x = transport.transport_rounds(
+        cfg_th, photons, frame, idx, t_rem, make_key(9), xsec_table=table,
+        max_rounds=16,
+    )
+    res_f = transport.transport_rounds_fused(
+        cfg_th, photons, frame, idx, t_rem, make_key(9), xsec_table=table,
+        max_rounds=16, inner_rounds=2, s_rows=8, interpret=True,
+    )
+    a, b = _stats(res_x), _stats(res_f)
+    assert b["w"] == pytest.approx(a["w"], rel=1e-6)
+    assert b["n_scatt"] == pytest.approx(a["n_scatt"], rel=0.12)
+    assert b["ns"] == pytest.approx(a["ns"], rel=0.12)
+    assert b["e"] == pytest.approx(a["e"], rel=0.15)
+    assert b["r"] == pytest.approx(a["r"], rel=1e-3)
+    # and the hot suppression is real: DIRECT (sigma_hat=1) scatters more
+    cfg_dir = Config(
+        dims=Dims.TWO, geometry=Geometry.CYLINDRICAL, dtype="float32",
+        simulation_type=SimType.CYLINDRICAL_OUTFLOW,
+    )
+    res_d = transport.transport_rounds_fused(
+        cfg_dir, photons, frame, idx, t_rem, make_key(9),
+        max_rounds=16, inner_rounds=2, s_rows=8, interpret=True,
+    )
+    assert int(res_d.n_scatt) > 1.1 * b["n_scatt"]
+
+
+def test_fused_nonthermal_matches_xla(f32_tables):
+    """Nonthermal (powerlaw) electron populations through the fused kernel:
+    biased multi-population selection + in-kernel inverse-CDF gamma draws
+    agree with the XLA path."""
+    from mcrat_tpu.ops import cyclosynch
+
+    _, _, cfg_nt, table = f32_tables
+    host, (re_, te_) = synthetic_spherical_frame(
+        cfg_nt, r_min=1e12, r_max=2e13, nr=96, ntheta=16, theta_max=np.pi / 3
+    )
+    host.nonthermal_dens = cyclosynch.nonthermal_electron_dens(cfg_nt, host)
+    assert (host.nonthermal_dens > 0).all()
+    idx = build_rectilinear_index(re_, te_, dtype="float32")
+    rng = np.random.default_rng(29)
+    arrays, _ = transport.inject_photons(
+        host, r_inj=4e12, ph_weight=1e50, min_photons=2000, max_photons=6000,
+        spect=Spectrum.BLACKBODY, theta_min=0.0, theta_max=np.pi / 6,
+        fps=5.0, rng=rng,
+    )
+    photons, _ = transport.photons_from_arrays(arrays, capacity=None, dtype=jnp.float32)
+    frame = host.to_device(dtype=jnp.float32)
+    t_rem = transport.frame_time(photons, jnp.float32(0.3))
+    res_x = transport.transport_rounds(
+        cfg_nt, photons, frame, idx, t_rem, make_key(13), xsec_table=table,
+        max_rounds=20,
+    )
+    res_f = transport.transport_rounds_fused(
+        cfg_nt, photons, frame, idx, t_rem, make_key(13), xsec_table=table,
+        max_rounds=20, inner_rounds=2, s_rows=8, interpret=True,
+    )
+    a, b = _stats(res_x), _stats(res_f)
+    assert b["w"] == pytest.approx(a["w"], rel=1e-6)
+    assert b["n_scatt"] == pytest.approx(a["n_scatt"], rel=0.15)
+    assert b["ns"] == pytest.approx(a["ns"], rel=0.15)
+    # gamma<=100 nonthermal electrons upscatter: mean energies must track
+    assert b["e"] == pytest.approx(a["e"], rel=0.25)
+    assert b["r"] == pytest.approx(a["r"], rel=1e-3)
+    assert np.isfinite(np.asarray(res_f.photons.p)).all()
+
+
+def _grid_3d(kind):
+    """A 3-D spherical or polar uniform-outflow problem (float32)."""
+    cfg = Config(
+        dims=Dims.THREE,
+        geometry=Geometry.SPHERICAL if kind == "spherical" else Geometry.POLAR,
+        simulation_type=SimType.SPHERICAL_OUTFLOW if kind == "spherical"
+        else SimType.CYLINDRICAL_OUTFLOW,
+        dtype="float32",
+    )
+    if kind == "spherical":
+        e0 = np.geomspace(1e12, 2e13, 49)       # r
+        e1 = np.linspace(1e-3, np.pi / 3, 13)   # theta
+        e2 = np.linspace(0.0, 2 * np.pi, 9)     # phi
+    else:
+        e0 = np.linspace(1e10, 3.2e11, 17)      # r_cyl
+        e1 = np.linspace(0.0, 2 * np.pi, 9)     # phi
+        e2 = np.linspace(1.8e12, 2.9e12, 33)    # z
+    c0 = 0.5 * (e0[:-1] + e0[1:])
+    c1 = 0.5 * (e1[:-1] + e1[1:])
+    c2 = 0.5 * (e2[:-1] + e2[1:])
+    A, B, C = np.meshgrid(c0, c1, c2, indexing="ij")
+    DA = np.broadcast_to(np.diff(e0)[:, None, None], A.shape)
+    DB = np.broadcast_to(np.diff(e1)[None, :, None], B.shape)
+    DC = np.broadcast_to(np.diff(e2)[None, None, :], C.shape)
+    n = A.size
+    arrays = dict(
+        r0=A.ravel(), r1=B.ravel(), r2=C.ravel(),
+        dr0=DA.ravel(), dr1=DB.ravel(), dr2=DC.ravel(),
+        v0=np.zeros(n), v1=np.zeros(n), v2=np.zeros(n),
+        dens=np.ones(n), pres=np.ones(n),
+    )
+    host = frame_from_numpy(cfg, arrays)
+    apply_simulation_type(host)
+    idx = build_rectilinear_index(e0, e1, e2, dtype="float32")
+    rng = np.random.default_rng(31)
+    arrays_ph, _ = transport.inject_photons(
+        host, r_inj=3e12 if kind == "spherical" else 2e12, ph_weight=1e50,
+        min_photons=1500, max_photons=5000,
+        spect=Spectrum.BLACKBODY, theta_min=0.0,
+        theta_max=np.pi / 6 if kind == "spherical" else np.pi / 30,
+        fps=5.0, rng=rng,
+    )
+    photons, _ = transport.photons_from_arrays(arrays_ph, capacity=None, dtype=jnp.float32)
+    return cfg, photons, host.to_device(dtype=jnp.float32), idx
+
+
+@pytest.mark.parametrize("kind", ["spherical", "polar"])
+def test_fused_3d_angular_geometries_match_xla(kind):
+    """3-D spherical/polar membership runs atan2-free in the kernel (cosine
+    space off the packed sin/cos caches; packed width 24 for spherical) and
+    must agree with the XLA engine in distribution."""
+    cfg, photons, frame, idx = _grid_3d(kind)
+    if kind == "spherical":
+        assert frame.packed.shape[0] == 24
+    dt = jnp.float32(0.3 if kind == "spherical" else 0.05)
+    t_rem = transport.frame_time(photons, dt)
+    res_x = transport.transport_rounds(
+        cfg, photons, frame, idx, t_rem, make_key(21), max_rounds=16
+    )
+    res_f = transport.transport_rounds_fused(
+        cfg, photons, frame, idx, t_rem, make_key(21),
+        max_rounds=16, inner_rounds=2, s_rows=8, interpret=True,
+    )
+    a, b = _stats(res_x), _stats(res_f)
+    assert b["w"] == pytest.approx(a["w"], rel=1e-6)
+    assert b["n_scatt"] == pytest.approx(a["n_scatt"], rel=0.15)
+    assert b["ns"] == pytest.approx(a["ns"], rel=0.15)
+    assert b["e"] == pytest.approx(a["e"], rel=0.1)
+    assert b["r"] == pytest.approx(a["r"], rel=1e-3)
+    assert np.isfinite(np.asarray(res_f.photons.p)).all()
+
+
 def test_fused_spectrum_agreement():
     """Comptonized spectra from the two engines agree bin by bin."""
     cfg, photons, frame, idx = _cylindrical_problem(n_min=4000, n_max=12000)
