@@ -155,3 +155,56 @@ def test_in_block():
         1.0, 2.0, 0.0, 1.0, 1.0, 0.0, use_r2=False,
     )
     assert bool(ok[0]) and not bool(ok[1])
+
+
+def test_uniform_rectilinear_index_matches_searchsorted():
+    """Arithmetic O(1) point location on uniform axes must agree with the
+    binary search everywhere, including points near cell seams."""
+    import dataclasses
+
+    from mcrat_tpu.grid import build_rectilinear_index
+
+    e0 = np.linspace(0.0, 3.2e11, 161)
+    e1 = np.linspace(1.8e12, 2.9e12, 513)
+    idx = build_rectilinear_index(e0, e1, dtype="float32")
+    assert idx.uniform[0] and idx.uniform[1]
+    # force the searchsorted path on an otherwise identical index
+    idx_ss = dataclasses.replace(idx, uniform=(False, False, False))
+
+    rng = np.random.default_rng(5)
+    r0 = np.concatenate([
+        rng.uniform(-1e10, 3.3e11, 20000),
+        e0.astype(np.float32),           # exactly on seams
+        e0.astype(np.float32) + 1.0,     # just inside
+    ]).astype(np.float32)
+    r1 = np.concatenate([
+        rng.uniform(1.79e12, 2.91e12, r0.size - e1.size * 2),
+        e1.astype(np.float32),
+        e1.astype(np.float32) - 1.0,
+    ]).astype(np.float32)
+    a = np.asarray(idx.find(jnp.asarray(r0), jnp.asarray(r1), 0.0, None, None))
+    b = np.asarray(idx_ss.find(jnp.asarray(r0), jnp.asarray(r1), 0.0, None, None))
+    # in/out decisions are identical by construction (same `inside` test);
+    # assigned cells may differ only for points within float32 rounding of a
+    # seam, where either neighbor is acceptable — the seam-loaded samples
+    # above are ~6% of the population, so the disagreement rate must stay
+    # below that, and every disagreement must be a +/-1 neighbor flip
+    disagree = a != b
+    assert disagree.mean() < 0.07
+    ij_a = np.stack(np.divmod(a[disagree], 512), -1)
+    ij_b = np.stack(np.divmod(b[disagree], 512), -1)
+    assert np.all(np.abs(ij_a - ij_b) <= 1)
+
+
+def test_nonuniform_axis_falls_back_to_searchsorted():
+    from mcrat_tpu.grid import build_rectilinear_index
+
+    e0 = np.geomspace(1e10, 1e13, 101)  # log spacing: not uniform
+    e1 = np.linspace(0.0, 1.0, 33)
+    idx = build_rectilinear_index(e0, e1)
+    assert not idx.uniform[0] and idx.uniform[1]
+    r0 = np.geomspace(1.1e10, 0.9e13, 5000)
+    r1 = np.full_like(r0, 0.5)
+    got = np.asarray(idx.find(jnp.asarray(r0), jnp.asarray(r1), 0.0, None, None))
+    want_i = np.searchsorted(e0, r0, side="right") - 1
+    np.testing.assert_array_equal(got, want_i * 32 + 16)
