@@ -545,6 +545,30 @@ def gather_rows(frame: HydroFrame, cell):
     return frame.packed[:, safe]
 
 
+def find_cell_direct(cfg: Config, index, frame: HydroFrame, pos):
+    """Carried-row-free containing-cell lookup for deterministic indices.
+
+    RectilinearIndex point location is exact and assigns every in-domain
+    position a unique cell, so the cached-cell AABB pin of
+    :func:`find_cell_rows` is redundant there — this variant skips it (and
+    the (16, N) where-merge it implies).  Same contract as
+    findContainingHydroCell (reference: Src/mclib.c:436-615): out-of-domain
+    photons get cell = -1 (huge-mfp sentinel, mclib.c:589-595).
+    Returns (cell, in_grid).
+    """
+    r0, r1, r2 = geo.mcrat_to_hydro(cfg, pos[..., 0], pos[..., 1], pos[..., 2])
+    use_r2 = cfg.dims is Dims.THREE
+    dom = frame.domain
+    inside = (
+        (r0 > dom[0, 0]) & (r0 < dom[0, 1]) & (r1 > dom[1, 0]) & (r1 < dom[1, 1])
+    )
+    if use_r2:
+        inside = inside & (r2 > dom[2, 0]) & (r2 < dom[2, 1])
+    cell = index.find(r0, r1, r2, frame, None)
+    cell = jnp.where(inside, cell, -1)
+    return cell, inside & (cell >= 0)
+
+
 def find_cell(cfg: Config, index, frame: HydroFrame, pos, cached):
     """Containing-cell lookup with cached fast path.
 

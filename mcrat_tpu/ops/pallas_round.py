@@ -697,21 +697,24 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
             )
         raise ValueError(f"unsupported 2-D geometry for fused kernel: {geom}")
 
-    def kernel(seed_ref, dom_ref, state_ref, row_ref, flags_ref, *rest):
+    def kernel(seed_ref, blkact_ref, dom_ref, state_ref, row_ref, flags_ref,
+               *rest):
         if use_aux:
             aux_ref, state_out_ref, oflags_ref = rest
         else:
             aux_ref = None
             state_out_ref, oflags_ref = rest
-        # seed_ref = [seed, n_active_blocks]: the caller partitions active
-        # lanes into the leading blocks, so any block at or past
-        # n_active_blocks is entirely idle — skip its compute and copy the
-        # state through (the dominant cost of a frame's long tail, where a
-        # few deep photons keep scattering long after the bulk is done).
+        # blkact_ref[pid] != 0 marks a block with at least one active lane;
+        # an all-idle block skips its compute and copies the state through
+        # (the dominant cost of a frame's long tail, where a few deep photons
+        # keep scattering long after the bulk is done).  Per-block flags —
+        # rather than a leading-active-block count — let the caller skip the
+        # row partition on most invocations: blocks that go idle between
+        # partitions are skipped wherever they sit.
         # program_id must be read at kernel top level (interpret mode does
         # not substitute it inside pl.when sub-jaxprs).
         pid = pl.program_id(0)
-        is_active_block = pid < seed_ref[1]
+        is_active_block = blkact_ref[pid] != 0
 
         @pl.when(jnp.logical_not(is_active_block))
         def _passthrough():
@@ -902,6 +905,7 @@ def fused_rounds(
     rows,           # (PACKED_WIDTH, R, 128) f32
     flags,          # (1, R, 128) int32
     aux=None,       # (N_AUX, R, 128) f32 — TABLE/nonthermal per-lane planes
+    block_act=None,  # (R // s_rows,) int32 — 0 marks an all-idle block to skip
     stokes_on: bool = True,
     inner_rounds: int = 4,
     el_iters: int = 12,
@@ -919,14 +923,12 @@ def fused_rounds(
     kernel = _make_kernel(cfg, stokes_on, inner_rounds, el_iters, kn_iters,
                           s_rows, interpret, use_aux, nonthermal)
     nrow = rows.shape[0]
-    # seed may be (1,) [seed] or (2,) [seed, n_active_blocks]; with no
-    # active-block count every block computes (the pre-compaction behavior).
-    seed = jnp.asarray(seed, jnp.int32)
-    if seed.shape[0] == 1:
-        seed = jnp.concatenate(
-            [seed, jnp.full((1,), grid[0], jnp.int32)])
+    seed = jnp.asarray(seed, jnp.int32).reshape(-1)[:1]
+    if block_act is None:
+        block_act = jnp.ones((grid[0],), jnp.int32)
 
     in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((N_STATE, s_rows, LANES), lambda i: (0, i, 0),
@@ -936,7 +938,8 @@ def fused_rounds(
         pl.BlockSpec((1, s_rows, LANES), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [seed, domain.astype(jnp.float32), state, rows, flags]
+    args = [seed, block_act.astype(jnp.int32), domain.astype(jnp.float32),
+            state, rows, flags]
     if use_aux:
         in_specs.append(
             pl.BlockSpec((N_AUX, s_rows, LANES), lambda i: (0, i, 0),

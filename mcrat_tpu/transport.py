@@ -641,10 +641,21 @@ def transport_rounds_fused(
     base_seed = jax.random.randint(key, (), jnp.iinfo(jnp.int32).min,
                                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
 
-    from .grid import PCOL, find_cell_rows, gather_rows
+    from .grid import (PCOL, RectilinearIndex, find_cell_direct,
+                       find_cell_rows, gather_rows)
 
     rows0 = gather_rows(frame, cell0)  # (n_prow, n_pad)
     n_prow = rows0.shape[0]
+    n_blocks = r_pad // s_rows
+    # Rectilinear point location is deterministic and cheap (O(1) arithmetic
+    # or one compare-all search), so the carried-row protocol — AABB-test the
+    # cached cell, gather only for movers — buys nothing there: the gather
+    # runs unconditionally either way.  Dropping the carried rows from the
+    # loop carry removes the n_prow-plane permute from the partition and the
+    # (n_prow, N) where-merge from every invocation.  BinnedIndex (AMR) keeps
+    # the carried protocol: its cached-cell pin also resolves overlapping
+    # fine/coarse AABB seams.
+    carried = not isinstance(index, RectilinearIndex)
 
     def aux_planes(state, rows):
         """Per-lane tau coefficient + thermal probability for the kernel.
@@ -682,29 +693,54 @@ def transport_rounds_fused(
             [total.reshape(r_pad, lanes), p_th.reshape(r_pad, lanes)]
         )
 
-    def cond(carry):
+    def kernel_pos(state):
+        return jnp.stack([
+            state[pr.SP_X].reshape(-1), state[pr.SP_Y].reshape(-1),
+            state[pr.SP_Z].reshape(-1),
+        ], axis=-1)
+
+    def run_kernel(state, rows, block_act, alive, pool, in_grid, rounds):
+        flags = (
+            alive.astype(jnp.int32) * pr.FLAG_ALIVE
+            + pool.astype(jnp.int32) * pr.FLAG_POOL
+            + (in_grid.reshape(r_pad, lanes)).astype(jnp.int32) * pr.FLAG_INGRID
+        )[None]
+        aux = aux_planes(state, rows) if use_aux else None
+        return pr.fused_rounds(
+            cfg, base_seed + rounds * jnp.int32(7919), frame.domain.reshape(-1),
+            state, rows.reshape(n_prow, r_pad, lanes), flags,
+            aux=aux, block_act=block_act,
+            stokes_on=stokes_on, inner_rounds=inner_rounds,
+            s_rows=s_rows, interpret=interpret, nonthermal=nonthermal,
+        )
+
+    def make_perm(act_row, n_act):
+        # stable active-first row permutation.  Row granularity (128 lanes)
+        # is deliberate: permuting whole (128,) rows is a contiguous-vector
+        # gather (~1 ms here), while lane-level permutation is an element
+        # gather that TPUs execute at a few GB/s (~75 ms — measured 8x slower
+        # than the kernel it was meant to save).
+        ca = jnp.cumsum(act_row.astype(jnp.int32))
+        ci = jnp.cumsum(jnp.logical_not(act_row).astype(jnp.int32))
+        new_pos = jnp.where(act_row, ca - 1, n_act + ci - 1)
+        iota = jnp.arange(r_pad, dtype=jnp.int32)
+        return jnp.zeros((r_pad,), jnp.int32).at[new_pos].set(iota)
+
+    def cond_carried(carry):
         state, rows, cell, alive, pool, promoted_any, orig, rounds = carry
         active = alive & (state[pr.SP_TREM] > 0)
         return jnp.any(active) & (rounds < round_cap)
 
-    def body(carry):
+    def body_carried(carry):
         state, rows, cell, alive, pool, promoted_any, orig, rounds = carry
         # Partition active ROWS into the leading kernel blocks (stable order)
         # so the kernel skips the all-idle tail blocks.  A frame's tail — a
         # few deep photons still scattering long after the bulk has exhausted
         # its time window — otherwise costs full-population invocations.
-        # Row granularity (128 lanes) is deliberate: permuting whole (128,)
-        # rows is a contiguous-vector gather (~1 ms here), while lane-level
-        # permutation is an element gather that TPUs execute at a few GB/s
-        # (~75 ms — measured 8x slower than the kernel it was meant to save).
         if partition:
             act_row = jnp.any(alive & (state[pr.SP_TREM] > 0), axis=1)
             n_act = jnp.sum(act_row.astype(jnp.int32))
-            ca = jnp.cumsum(act_row.astype(jnp.int32))
-            ci = jnp.cumsum(jnp.logical_not(act_row).astype(jnp.int32))
-            new_pos = jnp.where(act_row, ca - 1, n_act + ci - 1)
-            iota = jnp.arange(r_pad, dtype=jnp.int32)
-            perm = jnp.zeros((r_pad,), jnp.int32).at[new_pos].set(iota)
+            perm = make_perm(act_row, n_act)
             state = state[:, perm]
             rows = rows.reshape(n_prow, r_pad, lanes)[:, perm].reshape(
                 n_prow, n_pad)
@@ -714,61 +750,100 @@ def transport_rounds_fused(
             promoted_any = promoted_any[perm]
             orig = orig[perm]
             n_active_blocks = (n_act + s_rows - 1) // s_rows
+            block_act = (
+                jnp.arange(n_blocks, dtype=jnp.int32) < n_active_blocks
+            ).astype(jnp.int32)
         else:
-            n_active_blocks = jnp.int32(r_pad // s_rows)
+            block_act = jnp.ones((n_blocks,), jnp.int32)
 
-        pos = jnp.stack([
-            state[pr.SP_X].reshape(-1), state[pr.SP_Y].reshape(-1),
-            state[pr.SP_Z].reshape(-1),
-        ], axis=-1)
-        cell, rows, in_grid = find_cell_rows(cfg, index, frame, pos, cell, rows)
-        flags = (
-            alive.astype(jnp.int32) * pr.FLAG_ALIVE
-            + pool.astype(jnp.int32) * pr.FLAG_POOL
-            + (in_grid.reshape(r_pad, lanes)).astype(jnp.int32) * pr.FLAG_INGRID
-        )[None]
-        seed = jnp.stack([
-            base_seed + rounds * jnp.int32(7919),
-            n_active_blocks.astype(jnp.int32),
-        ])
-        aux = aux_planes(state, rows) if use_aux else None
-        res = pr.fused_rounds(
-            cfg, seed, frame.domain.reshape(-1),
-            state, rows.reshape(n_prow, r_pad, lanes), flags,
-            aux=aux,
-            stokes_on=stokes_on, inner_rounds=inner_rounds,
-            s_rows=s_rows, interpret=interpret, nonthermal=nonthermal,
-        )
+        cell, rows, in_grid = find_cell_rows(
+            cfg, index, frame, kernel_pos(state), cell, rows)
+        res = run_kernel(state, rows, block_act, alive, pool, in_grid, rounds)
         promoted = (res.out_flags[0] & pr.OUT_PROMOTED) != 0
         pool = pool & ~promoted
         return (res.state, rows, cell, alive, pool, promoted_any | promoted,
                 orig, rounds + inner_rounds)
 
-    state, rows, cell, alive_f, pool, promoted_any, orig, rounds = (
-        jax.lax.while_loop(
-            cond, body,
-            (state, rows0, cell0, alive0, pool0,
-             jnp.zeros((r_pad, lanes), bool),
-             jnp.arange(r_pad, dtype=jnp.int32), jnp.zeros((), jnp.int32)),
+    def cond_direct(carry):
+        state, alive, pool, promoted_any, orig, rounds, n_last = carry
+        active = alive & (state[pr.SP_TREM] > 0)
+        return jnp.any(active) & (rounds < round_cap)
+
+    def body_direct(carry):
+        state, alive, pool, promoted_any, orig, rounds, n_last = carry
+        act_row = jnp.any(alive & (state[pr.SP_TREM] > 0), axis=1)
+        n_act = jnp.sum(act_row.astype(jnp.int32)).astype(jnp.int32)
+        if partition:
+            # Re-partition only when the active-row count dropped >= 1/8
+            # since the last partition: the per-block activity flags already
+            # skip blocks that went entirely idle in place, so the (state +
+            # masks) permute — ~2 ms at 1M lanes — only pays when idle rows
+            # are scattered thinly across many blocks.
+            do_part = n_act * jnp.int32(8) < n_last * jnp.int32(7)
+
+            def yes(ops):
+                state, alive, pool, promoted_any, orig, _ = ops
+                perm = make_perm(act_row, n_act)
+                act_sorted = jnp.arange(r_pad, dtype=jnp.int32) < n_act
+                return (state[:, perm], alive[perm], pool[perm],
+                        promoted_any[perm], orig[perm], act_sorted)
+
+            (state, alive, pool, promoted_any, orig, act_row) = jax.lax.cond(
+                do_part, yes, lambda ops: ops,
+                (state, alive, pool, promoted_any, orig, act_row),
+            )
+            n_last = jnp.where(do_part, n_act, n_last)
+        block_act = jnp.any(
+            act_row.reshape(n_blocks, s_rows), axis=1
+        ).astype(jnp.int32)
+
+        cell, in_grid = find_cell_direct(cfg, index, frame, kernel_pos(state))
+        rows = gather_rows(frame, cell)
+        res = run_kernel(state, rows, block_act, alive, pool, in_grid, rounds)
+        promoted = (res.out_flags[0] & pr.OUT_PROMOTED) != 0
+        pool = pool & ~promoted
+        return (res.state, alive, pool, promoted_any | promoted,
+                orig, rounds + inner_rounds, n_last)
+
+    if carried:
+        state, rows, cell, alive_f, pool, promoted_any, orig, rounds = (
+            jax.lax.while_loop(
+                cond_carried, body_carried,
+                (state, rows0, cell0, alive0, pool0,
+                 jnp.zeros((r_pad, lanes), bool),
+                 jnp.arange(r_pad, dtype=jnp.int32), jnp.zeros((), jnp.int32)),
+            )
         )
-    )
+    else:
+        state, alive_f, pool, promoted_any, orig, rounds, _ = (
+            jax.lax.while_loop(
+                cond_direct, body_direct,
+                (state, alive0, pool0,
+                 jnp.zeros((r_pad, lanes), bool),
+                 jnp.arange(r_pad, dtype=jnp.int32), jnp.zeros((), jnp.int32),
+                 jnp.int32(r_pad)),
+            )
+        )
+        rows = rows0
+        cell = cell0
 
     if partition:
         # undo the active-first partitions: orig maps row -> original row
         inv = jnp.zeros((r_pad,), jnp.int32).at[orig].set(
             jnp.arange(r_pad, dtype=jnp.int32))
         state = state[:, inv]
-        rows = rows.reshape(n_prow, r_pad, lanes)[:, inv].reshape(
-            n_prow, n_pad)
-        cell = cell.reshape(r_pad, lanes)[inv].reshape(-1)
         promoted_any = promoted_any[inv]
+        if carried:
+            rows = rows.reshape(n_prow, r_pad, lanes)[:, inv].reshape(
+                n_prow, n_pad)
+            cell = cell.reshape(r_pad, lanes)[inv].reshape(-1)
 
     # final cell sync for the photons that moved in the last kernel call
-    pos = jnp.stack([
-        state[pr.SP_X].reshape(-1), state[pr.SP_Y].reshape(-1),
-        state[pr.SP_Z].reshape(-1),
-    ], axis=-1)
-    cell, rows, _ = find_cell_rows(cfg, index, frame, pos, cell, rows)
+    if carried:
+        cell, rows, _ = find_cell_rows(
+            cfg, index, frame, kernel_pos(state), cell, rows)
+    else:
+        cell, _ = find_cell_direct(cfg, index, frame, kernel_pos(state))
 
     def unplane(i):
         return state[i].reshape(-1)[:cap]
@@ -918,15 +993,18 @@ def transport_frame(
                 )
         work_ph, work_t = res.photons, res.t_rem
         # ONE host<->device fetch per chunk: each separate int()/bool() sync
-        # is a full tunnel round-trip (~50 ms over axon), which dominated the
-        # per-frame wall time once the kernel itself dropped under 200 ms.
+        # is a full tunnel round-trip (~23 ms latency floor over axon), which
+        # dominated the per-frame wall time once the kernel itself dropped
+        # under 200 ms.  The chunk fetch is scalars only — the (capacity,)
+        # active mask (1 MB == +33 ms on the tunnel) is pulled in a second
+        # round-trip only when the scalar count says compaction will fire.
         will_compact = (
             compact and chunk_rounds != 0
             and work_ph.capacity > min_compact_capacity
         )
         fetch = [res.n_scatt, res.n_rounds, res.all_done]
         if will_compact:
-            fetch.append(work_ph.alive & (work_t > 0))
+            fetch.append(jnp.sum((work_ph.alive & (work_t > 0)).astype(jnp.int32)))
         fetched = jax.device_get(fetch)
         n_scatt_total += int(fetched[0])
         rounds_total += int(fetched[1])
@@ -936,9 +1014,11 @@ def transport_frame(
         if done or chunk_rounds == 0 or rounds_total >= cfg.max_rounds_per_frame:
             break
         if will_compact:
-            active = np.asarray(fetched[3])
-            n_active = int(active.sum())
+            n_active = int(fetched[3])
             if n_active < work_ph.capacity // 4:
+                active = np.asarray(
+                    jax.device_get(work_ph.alive & (work_t > 0))
+                )
                 # write current working set back, then shrink
                 if slots is None:
                     result_ph = work_ph
