@@ -157,10 +157,14 @@ def _time_frame(cfg, host, idx, arrays, key_seed, xsec_table=None,
             )
 
     res = run(key_seed)  # warm-up: compiles every compaction capacity
-    jax.block_until_ready(res.photons)
+    jax.block_until_ready(res.photons.p)
     t0 = time.perf_counter()
     res = run(key_seed + 1)
-    jax.block_until_ready(res.photons)
+    # one completion sync: every leaf comes out of the same chunk executable,
+    # so blocking one array proves the frame is done — per-leaf pings over the
+    # axon tunnel cost ~3 ms each and would bill ~30 ms of pure RPC overhead
+    # to the engine
+    jax.block_until_ready(res.photons.p)
     elapsed = time.perf_counter() - t0
     return int(res.n_scatt) / elapsed, res, elapsed
 

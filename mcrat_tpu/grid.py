@@ -68,6 +68,12 @@ class HydroFrame:
     # search replaces ~12 scalar-array gathers.  Row layout in PCOL below;
     # None until to_device packs it.
     packed: Optional[jax.Array] = None
+    # 8-row slim variant (PCOL_SLIM) for 2-D cartesian/cylindrical frames with
+    # no phi-hat velocity: exactly one f32 sublane tile, so the per-invocation
+    # fused-loop gather moves half the bytes of the 16-row matrix.  gamma is
+    # recomputed in-kernel from (v0, v1); ne_lab pre-divides dens_lab by m_p.
+    # None when the config needs the full row set.
+    packed_slim: Optional[jax.Array] = None
 
     @property
     def num_elements(self) -> int:
@@ -110,6 +116,11 @@ PCOL = dict(
     sin2=16, cos2=17,  # 3-D spherical only (rows 16+ absent otherwise)
 )
 PACKED_WIDTH = 16
+
+# Slim row layout (HydroFrame.packed_slim): the minimum per-cell state of the
+# 2-D cartesian/cylindrical fused round — one 8-sublane f32 tile exactly.
+PCOL_SLIM = dict(r0=0, r1=1, dr0=2, dr1=3, v0=4, v1=5, ne_lab=6, temp=7)
+SLIM_WIDTH = 8
 
 
 def packed_width(cfg: Config) -> int:
@@ -288,6 +299,16 @@ class HydroFrameHost:
             cols.update(sin2=np.sin(self.r2), cos2=np.cos(self.r2))
         for name, val in cols.items():
             packed[PCOL[name], :] = val
+        packed_slim = None
+        if (
+            self.cfg.dims is Dims.TWO
+            and self.cfg.geometry in (Geometry.CARTESIAN, Geometry.CYLINDRICAL)
+            and not np.any(self.v2)
+        ):
+            packed_slim = np.stack([
+                self.r0, self.r1, self.dr0, self.dr1,
+                self.v0, self.v1, self.dens_lab * (1.0 / M_P), self.temp,
+            ])
         return HydroFrame(
             r0=put(self.r0), r1=put(self.r1), r2=put(self.r2),
             dr0=put(self.dr0), dr1=put(self.dr1), dr2=put(self.dr2),
@@ -299,6 +320,7 @@ class HydroFrameHost:
             domain=put(self.domain),
             nonthermal_dens=put(nt),
             packed=put(packed),
+            packed_slim=put(packed_slim) if packed_slim is not None else None,
         )
 
 

@@ -324,13 +324,31 @@ def interp_thermal(table: HotCrossSectionTable, e_comv, temp):
     log_e = jnp.log10(jnp.maximum(e_comv, 1e-300))
     log_th = jnp.log10(jnp.maximum(theta, 1e-300))
     val = 10.0 ** _bilinear(table.thermal, table.log_e, table.log_t, log_e, log_th)
-    oor = (
-        (log_e < table.log_e[0]) | (log_e > table.log_e[-1]) | (log_th > table.log_t[-1])
-    )
+    # Below the eps' table floor the KN correction is identically Thomson, so
+    # the bilinear edge clamp IS the exact value there — crucially, dead/padded
+    # lanes carry e_comv == 0 and must not trigger the recompute.  Only
+    # overflow past the HIGH eps'/theta edges (hyper-energetic tails) needs
+    # the direct integral.
+    oor = (log_e > table.log_e[-1]) | (log_th > table.log_t[-1])
 
     def recompute(v):
-        exact = direct_sigma_hat(e_comv, theta)
-        return jnp.where(oor, exact, v)
+        # Fixed-size bucket: overflow lanes are rare, so gather up to K of
+        # them, run the 768-node quadrature on the bucket only (the full-lane
+        # recompute costs ~0.5 s per call at 1M lanes), and scatter back.
+        # Beyond-K offenders keep the edge-clamped value — a bounded, capped
+        # approximation of the reference's recompute-all
+        # (hot_x_section.c:545-605).
+        k = min(4096, v.shape[0] if v.ndim else 1)
+        flat_oor = oor.reshape(-1)
+        idx = jnp.nonzero(flat_oor, size=k, fill_value=0)[0]
+        n_oor = jnp.sum(flat_oor.astype(jnp.int32))
+        valid = jnp.arange(k) < n_oor
+        e_flat = jnp.broadcast_to(e_comv, flat_oor.shape).reshape(-1)
+        th_flat = jnp.broadcast_to(theta, flat_oor.shape).reshape(-1)
+        exact = direct_sigma_hat(e_flat[idx], th_flat[idx])
+        v_flat = v.reshape(-1)
+        v_flat = v_flat.at[idx].set(jnp.where(valid, exact, v_flat[idx]))
+        return v_flat.reshape(v.shape)
 
     val = jax.lax.cond(jnp.any(oor), recompute, lambda v: v, val)
     cold = theta < 10.0**LOG_T_MIN

@@ -559,22 +559,34 @@ def _single_scatter(rng, shape, g0, e1x, e1y, e1z, c0, c1, c2, c3, q, u, v,
 
 def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
                  el_iters: int, kn_iters: int, s_rows: int, interpret: bool,
-                 use_aux: bool, nonthermal: bool):
-    """Build the fused-round kernel body for a static config."""
+                 use_aux: bool, nonthermal: bool, slim: bool = False):
+    """Build the fused-round kernel body for a static config.
+
+    ``slim`` selects the 8-row grid.PCOL_SLIM property layout (2-D
+    cartesian/cylindrical, no phi-hat velocity): gamma and |beta| are then
+    recomputed from (v0, v1) — two fused VPU ops — instead of being carried
+    as packed rows, halving the per-invocation row gather and block IO.
+    """
     two_d = cfg.dims is not Dims.THREE
     geom = cfg.geometry
     dims = cfg.dims
     shape = (s_rows, LANES)
     nt_sample = _make_nonthermal_gamma(cfg) if nonthermal else None
     n_gamma = float(cfg.n_gamma)
+    if slim:
+        assert two_d and geom in (Geometry.CARTESIAN, Geometry.CYLINDRICAL)
+        assert not nonthermal, "nonthermal needs the full packed layout"
+        from ..grid import PCOL_SLIM as COL
+    else:
+        COL = PCOL
 
     def fluid_beta(row, px, py):
         """grid.fluid_beta_from_rows, component form."""
-        v0 = row[PCOL["v0"]]
-        v1 = row[PCOL["v1"]]
+        v0 = row[COL["v0"]]
+        v1 = row[COL["v1"]]
         if not two_d:
             return v0, v1, row[PCOL["v2"]]
-        v2 = row[PCOL["v2"]] if dims is not Dims.TWO else jnp.zeros_like(v0)
+        v2 = row[PCOL["v2"]] if (dims is not Dims.TWO and not slim) else jnp.zeros_like(v0)
         rho = jnp.sqrt(px * px + py * py)
         has = rho > 0
         safe = jnp.where(has, rho, 1.0)
@@ -674,8 +686,8 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
             h0 = jnp.sqrt(px * px + py * py)
             h1 = pz
             return (
-                (2.0 * jnp.abs(h0 - row[PCOL["r0"]]) - row[PCOL["dr0"]] <= 0)
-                & (2.0 * jnp.abs(h1 - row[PCOL["r1"]]) - row[PCOL["dr1"]] <= 0)
+                (2.0 * jnp.abs(h0 - row[COL["r0"]]) - row[COL["dr0"]] <= 0)
+                & (2.0 * jnp.abs(h1 - row[COL["r1"]]) - row[COL["dr1"]] <= 0)
                 & (h0 > dom_ref[0]) & (h0 < dom_ref[1])
                 & (h1 > dom_ref[2]) & (h1 < dom_ref[3])
             )
@@ -739,10 +751,17 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
         is_pool = (flags & FLAG_POOL) != 0
         in_grid = (flags & FLAG_INGRID) != 0
 
-        gam = row[PCOL["gamma"]]
-        dens_lab = row[PCOL["dens_lab"]]
-        temp = row[PCOL["temp"]]
-        beta_mag = jnp.sqrt(jnp.maximum(1.0 - 1.0 / (gam * gam), 0.0))
+        temp = row[COL["temp"]]
+        if slim:
+            v0s, v1s = row[COL["v0"]], row[COL["v1"]]
+            beta2 = v0s * v0s + v1s * v1s
+            beta_mag = jnp.sqrt(beta2)
+            gam = jax.lax.rsqrt(jnp.maximum(1.0 - beta2, _TINY))
+            n_e = row[COL["ne_lab"]]
+        else:
+            gam = row[PCOL["gamma"]]
+            beta_mag = jnp.sqrt(jnp.maximum(1.0 - 1.0 / (gam * gam), 0.0))
+            n_e = row[PCOL["dens_lab"]] * (1.0 / M_P)
         if use_aux:
             # TABLE / nonthermal: the biased total tau coefficient (with the
             # hot sigma_hat folded in) comes from the XLA-side interpolation;
@@ -751,7 +770,7 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
             n_sigma = aux_ref[AUX_NSIG]
             p_th = aux_ref[AUX_PTH]
         else:
-            n_sigma = (dens_lab * (1.0 / M_P)) * THOM_X_SECT
+            n_sigma = n_e * THOM_X_SECT
             p_th = None
 
         def round_body(_, carry):
@@ -894,7 +913,7 @@ class FusedRoundsResult(NamedTuple):
     jax.jit,
     static_argnames=(
         "cfg", "stokes_on", "inner_rounds", "el_iters", "kn_iters",
-        "s_rows", "interpret", "nonthermal",
+        "s_rows", "interpret", "nonthermal", "slim",
     ),
 )
 def fused_rounds(
@@ -913,6 +932,7 @@ def fused_rounds(
     s_rows: int = 128,
     interpret: bool = False,
     nonthermal: bool = False,
+    slim: bool = False,
 ) -> FusedRoundsResult:
     """Run ``inner_rounds`` fused transport rounds over blocked photon planes."""
     n_state, r_total, lanes = state.shape
@@ -921,7 +941,7 @@ def fused_rounds(
     use_aux = aux is not None
     grid = (r_total // s_rows,)
     kernel = _make_kernel(cfg, stokes_on, inner_rounds, el_iters, kn_iters,
-                          s_rows, interpret, use_aux, nonthermal)
+                          s_rows, interpret, use_aux, nonthermal, slim=slim)
     nrow = rows.shape[0]
     seed = jnp.asarray(seed, jnp.int32).reshape(-1)[:1]
     if block_act is None:

@@ -148,7 +148,7 @@ def _sharded_chunk(
                   P(BATCH_AXIS), P(BATCH_AXIS)),
         out_specs=ChunkResult(
             photons=pspec, t_rem=P(BATCH_AXIS), n_scatt=P(), n_rounds=P(),
-            all_done=P(),
+            all_done=P(), n_active=P(),
         ),
         # The transport while_loop mixes device-varying carries (photon state,
         # per-shard keys) with unvarying literals; skip the vma consistency
@@ -178,6 +178,7 @@ def _sharded_chunk(
             n_scatt=jax.lax.psum(res.n_scatt, BATCH_AXIS),
             n_rounds=jax.lax.pmax(res.n_rounds, BATCH_AXIS),
             all_done=done_all,
+            n_active=jax.lax.psum(res.n_active, BATCH_AXIS),
         )
 
     return step(photons, frame, index, xsec_table, t_rem, keys)

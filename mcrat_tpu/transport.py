@@ -326,8 +326,10 @@ def photons_from_arrays(arrays: dict, capacity: Optional[int], dtype, weight_nor
 
 class FrameResult(NamedTuple):
     photons: Photons
-    n_scatt: jax.Array  # total scattering events this frame (weightless count)
-    n_rounds: jax.Array  # while-loop trips taken
+    n_scatt: int  # total scattering events this frame (weightless count)
+    n_rounds: int  # while-loop trips taken (host ints: they come from the
+    # chunk fetch, and re-wrapping them as device arrays would cost one more
+    # tunnel round-trip per frame)
 
 
 class ChunkResult(NamedTuple):
@@ -336,6 +338,7 @@ class ChunkResult(NamedTuple):
     n_scatt: jax.Array
     n_rounds: jax.Array
     all_done: jax.Array  # scalar bool: no active photons remain this frame
+    n_active: jax.Array  # scalar int32: photons still alive with time left
 
 
 def _tau_rate(cfg: Config, frame: HydroFrame, photons: Photons, cell, xsec_table=None, rows=None):
@@ -564,6 +567,7 @@ def transport_rounds(
     return ChunkResult(
         photons=ph, t_rem=t_rem, n_scatt=n_scatt, n_rounds=rounds,
         all_done=~jnp.any(active),
+        n_active=jnp.sum(active.astype(jnp.int32)).astype(jnp.int32),
     )
 
 
@@ -641,11 +645,9 @@ def transport_rounds_fused(
     base_seed = jax.random.randint(key, (), jnp.iinfo(jnp.int32).min,
                                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
 
-    from .grid import (PCOL, RectilinearIndex, find_cell_direct,
+    from .grid import (PCOL, PCOL_SLIM, RectilinearIndex, find_cell_direct,
                        find_cell_rows, gather_rows)
 
-    rows0 = gather_rows(frame, cell0)  # (n_prow, n_pad)
-    n_prow = rows0.shape[0]
     n_blocks = r_pad // s_rows
     # Rectilinear point location is deterministic and cheap (O(1) arithmetic
     # or one compare-all search), so the carried-row protocol — AABB-test the
@@ -656,6 +658,17 @@ def transport_rounds_fused(
     # the carried protocol: its cached-cell pin also resolves overlapping
     # fine/coarse AABB seams.
     carried = not isinstance(index, RectilinearIndex)
+    # 8-row property layout where the frame provides it (2-D cart/cyl, no
+    # phi-hat velocity): halves the dominant per-invocation gather.  The
+    # carried path keeps the full layout (find_cell_rows's AABB pin needs it).
+    slim = (
+        not carried and frame.packed_slim is not None and not nonthermal
+    )
+    if carried:
+        rows0 = gather_rows(frame, cell0)  # (n_prow, n_pad)
+        n_prow = rows0.shape[0]
+    else:
+        n_prow = (frame.packed_slim if slim else frame.packed).shape[0]
 
     def aux_planes(state, rows):
         """Per-lane tau coefficient + thermal probability for the kernel.
@@ -669,8 +682,12 @@ def transport_rounds_fused(
 
         e_comv = state[pr.SP_C0].reshape(-1)
         tiny = jnp.finfo(jnp.float32).tiny
-        sig = hot_xsec.interp_thermal(xsec_table, e_comv, rows[PCOL["temp"]])
-        n_e_lab = rows[PCOL["dens_lab"]] * (1.0 / M_P)
+        col = PCOL_SLIM if slim else PCOL
+        sig = hot_xsec.interp_thermal(xsec_table, e_comv, rows[col["temp"]])
+        n_e_lab = (
+            rows[col["ne_lab"]] if slim
+            else rows[PCOL["dens_lab"]] * (1.0 / M_P)
+        )
         tau0 = n_e_lab * THOM_X_SECT * sig
         if nonthermal:
             sig_sub = hot_xsec.interp_nonthermal(xsec_table, e_comv)
@@ -712,6 +729,7 @@ def transport_rounds_fused(
             aux=aux, block_act=block_act,
             stokes_on=stokes_on, inner_rounds=inner_rounds,
             s_rows=s_rows, interpret=interpret, nonthermal=nonthermal,
+            slim=slim,
         )
 
     def make_perm(act_row, n_act):
@@ -798,7 +816,8 @@ def transport_rounds_fused(
         ).astype(jnp.int32)
 
         cell, in_grid = find_cell_direct(cfg, index, frame, kernel_pos(state))
-        rows = gather_rows(frame, cell)
+        safe = jnp.clip(cell, 0, frame.num_elements - 1)
+        rows = (frame.packed_slim if slim else frame.packed)[:, safe]
         res = run_kernel(state, rows, block_act, alive, pool, in_grid, rounds)
         promoted = (res.out_flags[0] & pr.OUT_PROMOTED) != 0
         pool = pool & ~promoted
@@ -824,8 +843,6 @@ def transport_rounds_fused(
                  jnp.int32(r_pad)),
             )
         )
-        rows = rows0
-        cell = cell0
 
     if partition:
         # undo the active-first partitions: orig maps row -> original row
@@ -870,6 +887,7 @@ def transport_rounds_fused(
     return ChunkResult(
         photons=ph, t_rem=t_out, n_scatt=n_scatt, n_rounds=rounds,
         all_done=~jnp.any(active),
+        n_active=jnp.sum(active.astype(jnp.int32)).astype(jnp.int32),
     )
 
 
@@ -1004,7 +1022,7 @@ def transport_frame(
         )
         fetch = [res.n_scatt, res.n_rounds, res.all_done]
         if will_compact:
-            fetch.append(jnp.sum((work_ph.alive & (work_t > 0)).astype(jnp.int32)))
+            fetch.append(res.n_active)
         fetched = jax.device_get(fetch)
         n_scatt_total += int(fetched[0])
         rounds_total += int(fetched[1])
@@ -1052,8 +1070,8 @@ def transport_frame(
         result_ph = _scatter_photons(result_ph, jnp.asarray(slots), work_ph, len(slots))
     return FrameResult(
         photons=result_ph,
-        n_scatt=jnp.asarray(n_scatt_total),
-        n_rounds=jnp.asarray(rounds_total),
+        n_scatt=n_scatt_total,
+        n_rounds=rounds_total,
     )
 
 
