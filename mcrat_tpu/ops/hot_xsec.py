@@ -55,6 +55,13 @@ class HotCrossSectionTable:
     # fraction of the nonthermal distribution in each gamma subgroup
     # (reference: electron_dens_subgroup, Src/electron.c:655-675)
     subgroup_frac: Optional[jax.Array] = None  # (N_GAMMA,)
+    # (4, (N_PH_E+1)*(N_T+1)) bilinear corner matrix: rows are the flattened
+    # thermal table shifted by 0 / 1 / ny / ny+1, so the four corners of every
+    # lane's interpolation cell come from ONE minor-axis matrix gather.  Kept
+    # as a real input array deliberately: when the shifts are fused into the
+    # gather's operand XLA abandons the vectorized gather path (measured 40 ms
+    # vs 0.1 ms per 1M-lane interp on v5e).  None => built on the fly.
+    thermal_quad: Optional[jax.Array] = None
 
 
 def _boosted_xsec(eps, mu, gamma):
@@ -244,7 +251,22 @@ def load_or_build(cfg: Config, cache_path: Optional[str] = None, dtype=None) -> 
         thermal=jnp.asarray(np.asarray(data["thermal"]), dtype=dt),
         nonthermal=jnp.asarray(np.asarray(nt), dtype=dt) if nt is not None else None,
         subgroup_frac=jnp.asarray(frac, dtype=dt) if frac is not None else None,
+        thermal_quad=jnp.asarray(
+            _corner_quad(np.asarray(data["thermal"])), dtype=dt
+        ),
     )
+
+
+def _corner_quad(table: np.ndarray) -> np.ndarray:
+    """(4, nx*ny) flattened-and-shifted corner rows for one-gather bilinear."""
+    ny = table.shape[1]
+    flat = table.reshape(-1)
+    return np.stack([
+        flat,
+        np.roll(flat, -1),
+        np.roll(flat, -ny),
+        np.roll(flat, -(ny + 1)),
+    ])
 
 
 # ---------------------------------------------------------------------------
@@ -252,7 +274,7 @@ def load_or_build(cfg: Config, cache_path: Optional[str] = None, dtype=None) -> 
 # ---------------------------------------------------------------------------
 
 
-def _bilinear(table, x_grid, y_grid, x, y):
+def _bilinear(table, x_grid, y_grid, x, y, quad=None):
     nx, ny = table.shape
     dx = x_grid[1] - x_grid[0]
     dy = y_grid[1] - y_grid[0]
@@ -262,12 +284,25 @@ def _bilinear(table, x_grid, y_grid, x, y):
     j0 = jnp.floor(fy).astype(jnp.int32)
     tx = fx - i0
     ty = fy - j0
-    flat = table.reshape(-1)
     base = i0 * ny + j0
-    v00 = flat[base]
-    v01 = flat[base + 1]
-    v10 = flat[base + ny]
-    v11 = flat[base + ny + 1]
+    # ONE minor-axis matrix gather instead of four flat-vector gathers, from
+    # a PRE-MATERIALIZED corner matrix: TPU executes (W, M)[:, idx] against a
+    # real input array as vectorized column copies (~0.1 ms at 1M indices),
+    # but if the operand is itself a fusion product (the rolls/stack traced
+    # inline) XLA abandons the vectorized path and the same interp measures
+    # 40 ms.  The shifted rows alias the four bilinear corners; the wrap
+    # elements are never addressed (base + ny + 1 <= nx*ny - 1 by the clips).
+    if quad is None:
+        flat = table.reshape(-1)
+        quad = jnp.stack([
+            flat,
+            jnp.roll(flat, -1),
+            jnp.roll(flat, -ny),
+            jnp.roll(flat, -(ny + 1)),
+        ])
+        quad = jax.lax.optimization_barrier(quad)
+    v = quad[:, base]
+    v00, v01, v10, v11 = v[0], v[1], v[2], v[3]
     return (
         v00 * (1 - tx) * (1 - ty)
         + v01 * (1 - tx) * ty
@@ -323,7 +358,8 @@ def interp_thermal(table: HotCrossSectionTable, e_comv, temp):
     theta = KB_OVER_MEC2 * temp
     log_e = jnp.log10(jnp.maximum(e_comv, 1e-300))
     log_th = jnp.log10(jnp.maximum(theta, 1e-300))
-    val = 10.0 ** _bilinear(table.thermal, table.log_e, table.log_t, log_e, log_th)
+    val = 10.0 ** _bilinear(table.thermal, table.log_e, table.log_t,
+                            log_e, log_th, quad=table.thermal_quad)
     # Below the eps' table floor the KN correction is identically Thomson, so
     # the bilinear edge clamp IS the exact value there — crucially, dead/padded
     # lanes carry e_comv == 0 and must not trigger the recompute.  Only

@@ -216,6 +216,13 @@ def sharded_transport_frame(
     ``chunk_rounds=0`` runs a single unbounded device execution (legacy
     correctness-demo behavior; production wants bounded chunks for progress,
     RPC limits, and compaction).
+
+    Reproducibility note: per-shard RNG keys are split from ``key`` by shard
+    index, so a run is bit-reproducible for a FIXED mesh size but not across
+    different device counts (each photon sees a different stream when the
+    shard boundaries move).  This matches the reference, where changing the
+    MPI rank count reshuffles each rank's GSL stream (Src/mcrat.c:457-479);
+    only ensemble statistics are comparable across layouts.
     """
     n_shards = mesh.devices.size
     if photons.capacity % n_shards:

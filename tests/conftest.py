@@ -22,6 +22,17 @@ jax.config.update("jax_num_cpu_devices", 8)
 # Physics validation wants float64 on CPU.
 jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: the suite's wall time is dominated by
+# recompiling the same transport/mesh programs every run; with a warm cache
+# the full default run drops by an order of magnitude.  Safe across pytest-
+# xdist workers (the cache layer uses atomic renames).
+_cache_dir = os.environ.get(
+    "MCRAT_TPU_TEST_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
