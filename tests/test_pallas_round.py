@@ -88,7 +88,7 @@ def test_fused_matches_xla_statistics(problem):
     )
     res_f = transport.transport_rounds_fused(
         cfg, photons, frame, idx, t_rem, make_key(1),
-        max_rounds=24, inner_rounds=2, s_rows=8, interpret=True,
+        max_rounds=24, inner_rounds=2, s_rows=32, interpret=True,
     )
     a, b = _stats(res_x), _stats(res_f)
     assert b["w"] == pytest.approx(a["w"], rel=1e-6)  # weight conserved exactly
@@ -129,7 +129,7 @@ def test_fused_hot_frame_matches_xla():
     )
     res_f = transport.transport_rounds_fused(
         cfg, photons, frame, idx, t_rem, make_key(5),
-        max_rounds=16, inner_rounds=2, s_rows=8, interpret=True,
+        max_rounds=16, inner_rounds=2, s_rows=32, interpret=True,
     )
     a, b = _stats(res_x), _stats(res_f)
     assert b["w"] == pytest.approx(a["w"], rel=1e-6)
@@ -150,7 +150,7 @@ def test_fused_conserves_dead_lanes():
     t_rem = transport.frame_time(photons, jnp.float32(0.02))
     res = transport.transport_rounds_fused(
         cfg, photons, frame, idx, t_rem, make_key(2),
-        max_rounds=8, inner_rounds=2, s_rows=8, interpret=True,
+        max_rounds=8, inner_rounds=2, s_rows=32, interpret=True,
     )
     ph = res.photons
     # dead lanes: identical state, zero scatterings
@@ -218,7 +218,7 @@ def test_fused_table_mode_matches_xla(f32_tables):
     )
     res_f = transport.transport_rounds_fused(
         cfg_th, photons, frame, idx, t_rem, make_key(9), xsec_table=table,
-        max_rounds=16, inner_rounds=2, s_rows=8, interpret=True,
+        max_rounds=16, inner_rounds=2, s_rows=32, interpret=True,
     )
     a, b = _stats(res_x), _stats(res_f)
     assert b["w"] == pytest.approx(a["w"], rel=1e-6)
@@ -233,7 +233,7 @@ def test_fused_table_mode_matches_xla(f32_tables):
     )
     res_d = transport.transport_rounds_fused(
         cfg_dir, photons, frame, idx, t_rem, make_key(9),
-        max_rounds=16, inner_rounds=2, s_rows=8, interpret=True,
+        max_rounds=16, inner_rounds=2, s_rows=32, interpret=True,
     )
     assert int(res_d.n_scatt) > 1.1 * b["n_scatt"]
 
@@ -266,7 +266,7 @@ def test_fused_nonthermal_matches_xla(f32_tables):
     )
     res_f = transport.transport_rounds_fused(
         cfg_nt, photons, frame, idx, t_rem, make_key(13), xsec_table=table,
-        max_rounds=20, inner_rounds=2, s_rows=8, interpret=True,
+        max_rounds=20, inner_rounds=2, s_rows=32, interpret=True,
     )
     a, b = _stats(res_x), _stats(res_f)
     assert b["w"] == pytest.approx(a["w"], rel=1e-6)
@@ -339,7 +339,7 @@ def test_fused_3d_angular_geometries_match_xla(kind):
     )
     res_f = transport.transport_rounds_fused(
         cfg, photons, frame, idx, t_rem, make_key(21),
-        max_rounds=16, inner_rounds=2, s_rows=8, interpret=True,
+        max_rounds=16, inner_rounds=2, s_rows=32, interpret=True,
     )
     a, b = _stats(res_x), _stats(res_f)
     assert b["w"] == pytest.approx(a["w"], rel=1e-6)
@@ -359,7 +359,7 @@ def test_fused_spectrum_agreement():
     )
     res_f = transport.transport_rounds_fused(
         cfg, photons, frame, idx, t_rem, make_key(5),
-        max_rounds=10, inner_rounds=2, s_rows=8, interpret=True,
+        max_rounds=10, inner_rounds=2, s_rows=32, interpret=True,
     )
     bins = np.geomspace(1e-4, 1e-1, 16)
     h = []

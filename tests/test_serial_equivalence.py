@@ -44,7 +44,7 @@ def problem():
 
 def test_batched_matches_serial_statistics(problem):
     arrays, frame, idx = problem
-    dt = 0.05  # quarter frame keeps the serial oracle's runtime manageable
+    dt = 0.03  # sub-frame window keeps the serial oracle's runtime manageable
     ph0, _ = transport.photons_from_arrays(arrays, capacity=None, dtype=jnp.float64)
 
     res_b = transport.transport_frame(CFG, ph0, frame, idx, dt, jax.random.PRNGKey(11))
