@@ -406,3 +406,68 @@ def interp_nonthermal(table: HotCrossSectionTable, e_comv):
     v0 = table.nonthermal[i0]
     v1 = table.nonthermal[i0 + 1]
     return 10.0 ** (v0 * (1 - tx) + v1 * tx)
+
+
+# ---------------------------------------------------------------------------
+# Per-cell Chebyshev surrogate (in-kernel TABLE mode)
+# ---------------------------------------------------------------------------
+
+# Two-interval Chebyshev fit of log10 sigma_hat vs log10 eps', split at the
+# per-cell KN knee s = -log10(1 + 12 theta): degree 11 per interval measures a
+# worst-case 0.24% relative sigma error over the whole (eps', theta) table —
+# the same order as the MC noise in the reference's own 5e5-sample table
+# entries (hot_x_section.c:82-305).  This lets the fused Pallas kernel
+# evaluate the hot cross section per ROUND from the photon's current comoving
+# energy (Clenshaw recurrence on 12 gathered per-cell rows), so TABLE-mode
+# lanes no longer stall after every scatter.
+CHEB_DEG = 11
+CHEB_M = 32  # bilinear resampling nodes per interval
+CHEB_ROWS = 2 * (CHEB_DEG + 1) + 1  # knee row + two coefficient sets
+
+
+def _cheb_pinv() -> np.ndarray:
+    x = np.cos(np.pi * (np.arange(CHEB_M) + 0.5) / CHEB_M)
+    a = np.polynomial.chebyshev.chebvander(x, CHEB_DEG)
+    return np.linalg.pinv(a), x
+
+
+def thermal_cheb_cells(table: HotCrossSectionTable, temp_cells) -> jax.Array:
+    """(CHEB_ROWS, n_cells) per-cell sigma_hat surrogate rows.
+
+    Row 0 is the interval split s_c (the KN knee); rows 1..12 are Chebyshev
+    coefficients of log10 sigma_hat over [LOG_PH_E_MIN, s_c], rows 13..24 over
+    [s_c, LOG_PH_E_MAX].  Cells below the theta floor are fitted to the exact
+    KN curve, mirroring interp_thermal's cold branch (reference:
+    hot_x_section.c:336-340).  Built once per (frame, table) — two bilinear
+    resamplings at CHEB_M nodes and two (12, 32) @ (32, n_cells) matmuls.
+    """
+    from ..constants import KB_OVER_MEC2
+
+    dt = table.thermal.dtype
+    pinv_np, x_np = _cheb_pinv()
+    pinv = jnp.asarray(pinv_np, dtype=dt)
+    xs = jnp.asarray(x_np, dtype=dt)
+
+    theta = KB_OVER_MEC2 * jnp.asarray(temp_cells, dtype=dt)
+    cold = theta < 10.0 ** LOG_T_MIN
+    log_th = jnp.log10(jnp.maximum(theta, 1e-30))
+    lo_e = table.log_e[0]
+    hi_e = table.log_e[-1]
+    s = jnp.clip(-jnp.log10(1.0 + 12.0 * theta), lo_e + 1.0, hi_e - 1.0)
+
+    def fit(a, b):
+        nodes = 0.5 * (b - a)[None, :] * xs[:, None] + 0.5 * (a + b)[None, :]
+        vals = _bilinear(
+            table.thermal, table.log_e, table.log_t,
+            nodes, jnp.broadcast_to(log_th[None, :], nodes.shape),
+            quad=table.thermal_quad,
+        )
+        kn = jnp.log10(jnp.maximum(kn_cross_section(10.0 ** nodes), 1e-30))
+        vals = jnp.where(cold[None, :], kn, vals)
+        return pinv @ vals  # (CHEB_DEG + 1, n_cells)
+
+    lo_vec = jnp.full_like(s, lo_e)
+    hi_vec = jnp.full_like(s, hi_e)
+    c_lo = fit(lo_vec, s)
+    c_hi = fit(s, hi_vec)
+    return jnp.concatenate([s[None, :], c_lo, c_hi], axis=0)

@@ -559,13 +559,21 @@ def _single_scatter(rng, shape, g0, e1x, e1y, e1z, c0, c1, c2, c3, q, u, v,
 
 def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
                  el_iters: int, kn_iters: int, s_rows: int, interpret: bool,
-                 use_aux: bool, nonthermal: bool, slim: bool = False):
+                 use_aux: bool, nonthermal: bool, slim: bool = False,
+                 cheb_base: int = 0):
     """Build the fused-round kernel body for a static config.
 
     ``slim`` selects the 8-row grid.PCOL_SLIM property layout (2-D
     cartesian/cylindrical, no phi-hat velocity): gamma and |beta| are then
     recomputed from (v0, v1) — two fused VPU ops — instead of being carried
     as packed rows, halving the per-invocation row gather and block IO.
+
+    ``cheb_base`` > 0 enables in-kernel TABLE-mode hot cross sections: rows
+    [cheb_base .. cheb_base + 24] carry the per-cell two-interval Chebyshev
+    surrogate of log10 sigma_hat(eps') (ops.hot_xsec.thermal_cheb_cells) and
+    the tau rate is rebuilt every round from the CURRENT comoving energy by a
+    Clenshaw recurrence — no stall after scatters, unlike the legacy aux
+    protocol (which remains for nonthermal populations).
     """
     two_d = cfg.dims is not Dims.THREE
     geom = cfg.geometry
@@ -773,6 +781,40 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
             n_sigma = n_e * THOM_X_SECT
             p_th = None
 
+        if cheb_base:
+            from .hot_xsec import CHEB_DEG, LOG_PH_E_MAX, LOG_PH_E_MIN
+
+            s_knee = row[cheb_base]
+
+            def cheb_sigma(e_comv):
+                """sigma_hat/sigma_T from the per-cell Chebyshev rows
+                (Clenshaw recurrence, interval picked by the KN-knee split)."""
+                inv_ln10 = 0.4342944819032518
+                ln10 = 2.302585092994046
+                lge = jnp.log(jnp.maximum(e_comv, _TINY)) * inv_ln10
+                lo = lge < s_knee
+                a = jnp.where(lo, LOG_PH_E_MIN, s_knee)
+                b = jnp.where(lo, s_knee, LOG_PH_E_MAX)
+                x = jnp.clip(
+                    2.0 * (lge - a) / jnp.maximum(b - a, 1e-6) - 1.0, -1.0, 1.0
+                )
+                bk1 = jnp.zeros_like(x)
+                bk2 = jnp.zeros_like(x)
+                for k in range(CHEB_DEG, 0, -1):
+                    ck = jnp.where(
+                        lo,
+                        row[cheb_base + 1 + k],
+                        row[cheb_base + 2 + CHEB_DEG + k],
+                    )
+                    bk0 = ck + 2.0 * x * bk1 - bk2
+                    bk2 = bk1
+                    bk1 = bk0
+                c0k = jnp.where(
+                    lo, row[cheb_base + 1], row[cheb_base + 2 + CHEB_DEG]
+                )
+                f = c0k + x * bk1 - bk2
+                return jnp.exp(f * ln10)
+
         def round_body(_, carry):
             (p0, p1, p2, p3, px, py, pz, q, u, v, t_rem, ns,
              c0, c1, c2, c3, stalled, promoted) = carry
@@ -784,7 +826,8 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
             ph_norm = jnp.sqrt(p1 * p1 + p2 * p2 + p3 * p3)
             denom = jnp.maximum(fl_norm * ph_norm, _TINY)
             cos_ang = (bx * p1 + by * p2 + bz * p3) / denom
-            rate = n_sigma * (1.0 - beta_mag * cos_ang)
+            if not cheb_base:
+                rate = n_sigma * (1.0 - beta_mag * cos_ang)
 
             # 2. comoving four-momentum
             b0, b1, b2, b3 = _boost(bx, by, bz, p0, p1, p2, p3)
@@ -793,6 +836,12 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
             c1 = jnp.where(upd, b1, c1)
             c2 = jnp.where(upd, b2, c2)
             c3 = jnp.where(upd, b3, c3)
+            if cheb_base:
+                # TABLE mode: sigma_hat at the CURRENT comoving energy, every
+                # round (the XLA engine recomputes it per round the same way)
+                rate = (n_e * THOM_X_SECT) * cheb_sigma(c0) * (
+                    1.0 - beta_mag * cos_ang
+                )
 
             # 3. free path -> candidate step
             u1 = rng.uniform_pos()
@@ -913,7 +962,7 @@ class FusedRoundsResult(NamedTuple):
     jax.jit,
     static_argnames=(
         "cfg", "stokes_on", "inner_rounds", "el_iters", "kn_iters",
-        "s_rows", "interpret", "nonthermal", "slim",
+        "s_rows", "interpret", "nonthermal", "slim", "cheb_base",
     ),
 )
 def fused_rounds(
@@ -933,6 +982,7 @@ def fused_rounds(
     interpret: bool = False,
     nonthermal: bool = False,
     slim: bool = False,
+    cheb_base: int = 0,
 ) -> FusedRoundsResult:
     """Run ``inner_rounds`` fused transport rounds over blocked photon planes."""
     n_state, r_total, lanes = state.shape
@@ -941,7 +991,8 @@ def fused_rounds(
     use_aux = aux is not None
     grid = (r_total // s_rows,)
     kernel = _make_kernel(cfg, stokes_on, inner_rounds, el_iters, kn_iters,
-                          s_rows, interpret, use_aux, nonthermal, slim=slim)
+                          s_rows, interpret, use_aux, nonthermal, slim=slim,
+                          cheb_base=cheb_base)
     nrow = rows.shape[0]
     seed = jnp.asarray(seed, jnp.int32).reshape(-1)[:1]
     if block_act is None:

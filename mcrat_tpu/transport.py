@@ -664,11 +664,39 @@ def transport_rounds_fused(
     slim = (
         not carried and frame.packed_slim is not None and not nonthermal
     )
+    # Thermal TABLE mode on the direct path runs fully in-kernel: per-cell
+    # Chebyshev sigma_hat rows ride the same gather as the fluid properties
+    # and the tau rate is rebuilt per round, so no stall-after-scatter and no
+    # per-invocation aux interpolation.  Nonthermal (needs the biased
+    # multi-population selection) and the carried/AMR path keep the aux-plane
+    # stall protocol.
+    cheb = use_aux and not nonthermal and not carried
+    if cheb:
+        use_aux = False
     if carried:
         rows0 = gather_rows(frame, cell0)  # (n_prow, n_pad)
         n_prow = rows0.shape[0]
+        gsrc = None
+        cheb_base = 0
     else:
-        n_prow = (frame.packed_slim if slim else frame.packed).shape[0]
+        base_mat = frame.packed_slim if slim else frame.packed
+        if cheb:
+            from .ops import hot_xsec
+
+            ch = hot_xsec.thermal_cheb_cells(xsec_table, frame.temp).astype(
+                jnp.float32
+            )
+            cheb_base = base_mat.shape[0]
+            # the barrier keeps the concatenate a REAL array: a gather whose
+            # operand is a fusion product loses the vectorized gather path
+            # (see hot_xsec.HotCrossSectionTable.thermal_quad)
+            gsrc = jax.lax.optimization_barrier(
+                jnp.concatenate([base_mat, ch], axis=0)
+            )
+        else:
+            gsrc = base_mat
+            cheb_base = 0
+        n_prow = gsrc.shape[0]
 
     def aux_planes(state, rows):
         """Per-lane tau coefficient + thermal probability for the kernel.
@@ -729,7 +757,7 @@ def transport_rounds_fused(
             aux=aux, block_act=block_act,
             stokes_on=stokes_on, inner_rounds=inner_rounds,
             s_rows=s_rows, interpret=interpret, nonthermal=nonthermal,
-            slim=slim,
+            slim=slim, cheb_base=cheb_base,
         )
 
     def make_perm(act_row, n_act):
@@ -817,7 +845,7 @@ def transport_rounds_fused(
 
         cell, in_grid = find_cell_direct(cfg, index, frame, kernel_pos(state))
         safe = jnp.clip(cell, 0, frame.num_elements - 1)
-        rows = (frame.packed_slim if slim else frame.packed)[:, safe]
+        rows = gsrc[:, safe]
         res = run_kernel(state, rows, block_act, alive, pool, in_grid, rounds)
         promoted = (res.out_flags[0] & pr.OUT_PROMOTED) != 0
         pool = pool & ~promoted

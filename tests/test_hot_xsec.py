@@ -107,3 +107,40 @@ def test_nonthermal_table_monotone_kn():
     vals = 10.0**table
     assert np.isfinite(vals).all()
     assert (vals <= 1.0 + 1e-9).all()
+
+
+def test_thermal_cheb_cells_matches_interp(tmp_path):
+    """The per-cell Chebyshev surrogate used by the fused kernel's in-kernel
+    TABLE mode reproduces the bilinear table within its documented 1% bound
+    (worst-case measured 0.24% across the whole table; ops.hot_xsec module
+    comment).  Covers hot cells, a cold below-floor cell, and the interval
+    split on both sides of the KN knee."""
+    cfg = Config(dtype="float64", tau_calculation=TauCalculation.TABLE)
+    table = hot_xsec.load_or_build(cfg, str(tmp_path / "t.npz"))
+    temps = np.array([5e8, 5e9, 1e11, 1e5])  # theta ~ 0.08, 0.8, 16, below floor
+    rows = np.asarray(hot_xsec.thermal_cheb_cells(table, jnp.asarray(temps)))
+    assert rows.shape == (hot_xsec.CHEB_ROWS, len(temps))
+    deg = hot_xsec.CHEB_DEG
+    rng = np.random.default_rng(0)
+    e = 10.0 ** rng.uniform(-11.5, 5.5, 256)
+    for c in range(len(temps)):
+        s = rows[0, c]
+        exact = np.asarray(
+            hot_xsec.interp_thermal(
+                table, jnp.asarray(e), jnp.full(e.shape, temps[c])
+            )
+        )
+        lge = np.log10(e)
+        lo = lge < s
+        a = np.where(lo, hot_xsec.LOG_PH_E_MIN, s)
+        b = np.where(lo, s, hot_xsec.LOG_PH_E_MAX)
+        x = np.clip(2.0 * (lge - a) / (b - a) - 1.0, -1.0, 1.0)
+        coeffs = np.where(
+            lo[None, :], rows[1:deg + 2, c][:, None], rows[deg + 2:, c][:, None]
+        )
+        fit = np.zeros_like(x)
+        for k in range(deg + 1):
+            fit += coeffs[k] * np.cos(k * np.arccos(x))
+        approx = 10.0 ** fit
+        rel = np.abs(approx - exact) / np.maximum(exact, 1e-30)
+        assert rel.max() < 0.01, (temps[c], rel.max())
