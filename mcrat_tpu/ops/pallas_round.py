@@ -1032,6 +1032,13 @@ def fused_rounds(
             pl.BlockSpec((1, s_rows, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ),
+        # The TABLE-mode body's scoped scratch lands ~24 KB over Mosaic's
+        # default 16 MB stack budget on v5e; the chip has 128 MB of VMEM, so
+        # raise the scoped limit rather than shrink s_rows (smaller blocks
+        # cost ~8% grid overhead for no capacity reason).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )(*args)
     return FusedRoundsResult(state=state_out, out_flags=oflags)

@@ -959,11 +959,46 @@ def _gather_photons(photons: Photons, idx) -> Photons:
     return jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), photons)
 
 
-def _scatter_photons(dst: Photons, idx, src: Photons, n_valid: int) -> Photons:
-    """Write the first ``n_valid`` lanes of ``src`` back into ``dst`` at ``idx``."""
+def _scatter_photons(dst: Photons, slots, src: Photons) -> Photons:
+    """Write ``src`` lanes back into ``dst`` at ``slots``.
+
+    Pad lanes carry ``slots == dst.capacity`` (out of bounds) and are dropped
+    by the scatter, so the whole tree writes under one mask-free executable.
+    """
     return jax.tree_util.tree_map(
-        lambda d, s: d.at[idx].set(s[:n_valid]), dst, src
+        lambda d, s: d.at[slots].set(s, mode="drop"), dst, src
     )
+
+
+@functools.partial(jax.jit, static_argnames=("new_cap",))
+def _compact_step(result_ph: Photons, slots, work_ph: Photons, t_rem, new_cap: int):
+    """One compaction: write the working set back, gather actives into a
+    ``new_cap`` buffer — entirely on device.
+
+    A host-side version of this (numpy flatnonzero over a fetched alive mask +
+    un-jitted per-leaf gathers) cost ~60 dispatch round-trips over the axon
+    tunnel (~4 s per compaction); as ONE executable it is ~10 ms.  Returns
+    ``(result_ph, sub_ph, sub_t, sub_slots)`` where ``sub_slots`` maps working
+    lanes to original slots, with pads set to ``result_ph.capacity`` so the
+    write-back scatter drops them.
+    """
+    result_ph = _scatter_photons(result_ph, slots, work_ph)
+    active = work_ph.alive & (t_rem > 0)
+    idx = jnp.nonzero(active, size=new_cap, fill_value=-1)[0]
+    valid = idx >= 0
+    safe = jnp.where(valid, idx, 0)
+    sub = _gather_photons(work_ph, safe)
+    # dead-pad the fill lanes so they cannot transport twice
+    sub = sub.replace(
+        weight=jnp.where(valid, sub.weight, 0.0),
+        ptype=jnp.where(
+            valid, sub.ptype, jnp.asarray(int(PhotonType.NULL), sub.ptype.dtype)
+        ),
+    )
+    sub_t = jnp.where(valid, t_rem[safe], jnp.zeros((), t_rem.dtype))
+    sentinel = jnp.asarray(result_ph.capacity, slots.dtype)
+    sub_slots = jnp.where(valid, slots[safe], sentinel)
+    return result_ph, sub, sub_t, sub_slots
 
 
 def transport_frame(
@@ -1062,40 +1097,21 @@ def transport_frame(
         if will_compact:
             n_active = int(fetched[3])
             if n_active < work_ph.capacity // 4:
-                active = np.asarray(
-                    jax.device_get(work_ph.alive & (work_t > 0))
-                )
-                # write current working set back, then shrink
                 if slots is None:
                     result_ph = work_ph
-                    slots = np.arange(work_ph.capacity)
-                else:
-                    result_ph = _scatter_photons(
-                        result_ph, jnp.asarray(slots), work_ph, len(slots)
-                    )
+                    slots = jnp.arange(work_ph.capacity, dtype=jnp.int32)
                 new_cap = max(min_compact_capacity, 1 << int(np.ceil(np.log2(max(n_active, 1)))))
-                act_idx = np.flatnonzero(active)
-                slots = slots[act_idx]
-                gather_idx = np.full(new_cap, act_idx[0] if len(act_idx) else 0, dtype=np.int64)
-                gather_idx[: len(act_idx)] = act_idx
-                t_gather = jnp.take(work_t, jnp.asarray(gather_idx))
-                t_gather = t_gather.at[len(act_idx):].set(0.0)
-                sub_ph = _gather_photons(work_ph, jnp.asarray(gather_idx))
-                # dead-pad the duplicate lanes so they cannot transport twice
-                pad_mask = jnp.arange(new_cap) >= len(act_idx)
-                sub_ph = sub_ph.replace(
-                    weight=jnp.where(pad_mask, 0.0, sub_ph.weight),
-                    ptype=jnp.where(pad_mask, int(PhotonType.NULL), sub_ph.ptype),
+                result_ph, work_ph, work_t, slots = _compact_step(
+                    result_ph, slots, work_ph, work_t, new_cap
                 )
                 if reshard is not None:
-                    sub_ph, t_gather = reshard(sub_ph, t_gather)
-                work_ph, work_t = sub_ph, t_gather
+                    work_ph, work_t = reshard(work_ph, work_t)
 
     # final write-back
     if slots is None:
         result_ph = work_ph
     else:
-        result_ph = _scatter_photons(result_ph, jnp.asarray(slots), work_ph, len(slots))
+        result_ph = _scatter_photons(result_ph, slots, work_ph)
     return FrameResult(
         photons=result_ph,
         n_scatt=n_scatt_total,
