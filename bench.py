@@ -200,15 +200,39 @@ def main():
         simulation_type=SimType.CYLINDRICAL_OUTFLOW, dtype="float32",
     )
     full_matrix = os.environ.get("MCRAT_TPU_BENCH_MATRIX", "1") != "0"
+    # Wall-clock budget for the secondary points: first-compile of a point
+    # over a remote-device link costs 30-90 s, and the driver runs bench.py
+    # under a hard timeout — the headline must never be starved by the
+    # matrix.  The headline is measured FIRST (while the budget is fresh),
+    # each secondary point is skipped once the budget is spent and guarded
+    # against hardware-only failures, and the headline line prints LAST
+    # (the driver parses the final JSON line).
+    budget_s = float(os.environ.get("MCRAT_TPU_BENCH_BUDGET_S", "420"))
+    t_start = time.monotonic()
 
-    if full_matrix:
-        host, idx, arrays = _cylindrical_problem(cfg)
+    host, idx, arrays = _cylindrical_problem(cfg)
+    rate, res, el = _time_frame(cfg, host, idx, arrays, 0)
+    headline = (rate, res, el)
 
-        # Stokes off
+    def _point(name, thunk):
+        if not full_matrix:
+            return
+        left = budget_s - (time.monotonic() - t_start)
+        if left < 60.0:
+            print(f"# bench: skipping {name} ({left:.0f}s budget left)",
+                  file=sys.stderr, flush=True)
+            return
+        try:
+            thunk()
+        except Exception as e:  # a broken fallback path must not kill the headline
+            print(f"# bench: {name} FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+
+    def p_stokes_off():
         rate, res, el = _time_frame(cfg, host, idx, arrays, 10, stokes_on=False)
         _emit("scatterings_per_sec_stokes_off", rate, res, arrays, el)
 
-        # TABLE-mode hot cross sections (hot frame so sigma_hat < 1)
+    def p_table():
         cfg_tab = Config(
             dims=Dims.TWO, geometry=Geometry.CYLINDRICAL,
             simulation_type=SimType.CYLINDRICAL_OUTFLOW, dtype="float32",
@@ -221,7 +245,7 @@ def main():
         rate, res, el = _time_frame(cfg_tab, host_h, idx_h, arrays_h, 20, xsec_table=table)
         _emit("scatterings_per_sec_table_mode", rate, res, arrays_h, el)
 
-        # TABLE + nonthermal powerlaw electrons
+    def p_nonthermal():
         cfg_nt = Config(
             dims=Dims.TWO, geometry=Geometry.CYLINDRICAL,
             simulation_type=SimType.CYLINDRICAL_OUTFLOW, dtype="float32",
@@ -239,7 +263,7 @@ def main():
         rate, res, el = _time_frame(cfg_nt, host_n, idx_n, arrays_n, 30, xsec_table=table_nt)
         _emit("scatterings_per_sec_nonthermal", rate, res, arrays_n, el)
 
-        # 3-D Cartesian
+    def p_3d():
         cfg_3d = Config(
             dims=Dims.THREE, geometry=Geometry.CARTESIAN,
             simulation_type=SimType.CYLINDRICAL_OUTFLOW, dtype="float32",
@@ -248,13 +272,14 @@ def main():
         rate, res, el = _time_frame(cfg_3d, host_3, idx_3, arrays_3, 40)
         _emit("scatterings_per_sec_3d_cartesian", rate, res, arrays_3, el)
 
-        # mesh-of-1 sharded wrapper (must be within ~10% of the direct path)
+    def p_mesh1():
         from mcrat_tpu.parallel import make_mesh
 
         mesh1 = make_mesh(1)
         rate, res, el = _time_frame(cfg, host, idx, arrays, 50, mesh=mesh1)
         _emit("scatterings_per_sec_sharded_mesh1", rate, res, arrays, el)
 
+    def p_cyclosynch():
         # cyclo-synchrotron ON, end-to-end through the driver (pool emission,
         # promotion/replenishment, rebinning, absorption are frame-boundary
         # work the transport-only points cannot see)
@@ -287,7 +312,6 @@ def main():
         el_cs = time.perf_counter() - t0
         import h5py
 
-        total_ns = 0.0
         with h5py.File(os.path.join(tmp_cs, "MC", "0-6", "mc_proc_0.h5")) as f:
             last = str(max(int(k) for k in f.keys()))
             total_ns = float(np.sum(f[last]["NS"]))
@@ -304,11 +328,16 @@ def main():
             ),
             flush=True,
         )
-    else:
-        host, idx, arrays = _cylindrical_problem(cfg)
+
+    _point("stokes_off", p_stokes_off)
+    _point("table_mode", p_table)
+    _point("nonthermal", p_nonthermal)
+    _point("3d_cartesian", p_3d)
+    _point("sharded_mesh1", p_mesh1)
+    _point("cyclosynch_e2e", p_cyclosynch)
 
     # headline LAST: flagship config (the driver parses the final JSON line)
-    rate, res, el = _time_frame(cfg, host, idx, arrays, 0)
+    rate, res, el = headline
     _emit(
         "photon_scatterings_per_sec_per_chip", rate, res, arrays, el,
         vs=(rate / ref_rate if ref_rate else None),
