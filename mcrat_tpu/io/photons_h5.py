@@ -34,6 +34,21 @@ def _chunks(n):
     return (min(max(n, 1), 1 << 16),)
 
 
+_TYPE_CHAR_LUT = None
+
+
+def _type_char_lut():
+    """(max_type+1,) S1 lookup table — a vectorized PHOTON_TYPE_CHARS map
+    (a per-element ``PhotonType(t)`` loop costs ~0.5 s per million photons)."""
+    global _TYPE_CHAR_LUT
+    if _TYPE_CHAR_LUT is None:
+        lut = np.full(max(int(t) for t in PhotonType) + 1, b"?", dtype="S1")
+        for t, ch in PHOTON_TYPE_CHARS.items():
+            lut[int(t)] = ch.encode()
+        _TYPE_CHAR_LUT = lut
+    return _TYPE_CHAR_LUT
+
+
 def append_photons(
     cfg: Config,
     path: str,
@@ -51,38 +66,47 @@ def append_photons(
     own bookkeeping).  Returns the number of photons written.
     """
     import h5py
+    import jax
 
-    w = np.asarray(photons.weight, dtype=np.float64) * meta.weight_norm
-    ptype = np.asarray(photons.ptype)
+    # ONE batched device fetch for every leaf the schema needs (sequential
+    # per-leaf np.asarray transfers dominated the per-frame dump wall time)
+    fetch = [photons.weight, photons.ptype, photons.p, photons.pos,
+             photons.num_scatt]
+    if cfg.comv:
+        fetch.append(photons.comv_p)
+    if cfg.stokes:
+        fetch.append(photons.s)
+    got = jax.device_get(fetch)
+    weight, ptype, p_raw, pos_raw, ns_raw = got[:5]
+    got = got[5:]
+
+    w = weight.astype(np.float64) * meta.weight_norm
     keep = (w > 0) & (ptype != int(PhotonType.NULL))
     for t in exclude_types:
         keep &= ptype != int(t)
     if not keep.any():
         return 0
 
-    p = np.asarray(photons.p, dtype=np.float64)[keep] * ME_C
-    pos = np.asarray(photons.pos, dtype=np.float64)[keep]
-    ns = np.asarray(photons.num_scatt, dtype=np.float64)[keep]
+    p = p_raw[keep].astype(np.float64) * ME_C
+    pos = pos_raw[keep].astype(np.float64)
+    ns = ns_raw[keep].astype(np.float64)
     data = {
         "P0": p[:, 0], "P1": p[:, 1], "P2": p[:, 2], "P3": p[:, 3],
         "R0": pos[:, 0], "R1": pos[:, 1], "R2": pos[:, 2],
         "NS": ns, "PW": w[keep],
     }
     if cfg.comv:
-        comv = np.asarray(photons.comv_p, dtype=np.float64)[keep] * ME_C
+        comv = got[0][keep].astype(np.float64) * ME_C
+        got = got[1:]
         data.update(
             COMV_P0=comv[:, 0], COMV_P1=comv[:, 1],
             COMV_P2=comv[:, 2], COMV_P3=comv[:, 3],
         )
     if cfg.stokes:
-        s = np.asarray(photons.s, dtype=np.float64)[keep]
+        s = got[0][keep].astype(np.float64)
         data.update(S0=s[:, 0], S1=s[:, 1], S2=s[:, 2], S3=s[:, 3])
     if cfg.save_type:
-        chars = np.array(
-            [PHOTON_TYPE_CHARS[PhotonType(t)].encode() for t in ptype[keep]],
-            dtype="S1",
-        )
-        data["PT"] = chars
+        data["PT"] = _type_char_lut()[ptype[keep]]
 
     n = len(data["P0"])
     with h5py.File(path, "a") as f:
