@@ -89,37 +89,94 @@ def decompose_work(
     )
 
 
-def clean_initialize_dir(mc_dir: str, rank: int) -> int:
-    """Delete stale output before an initialize-mode run.
+_INIT_CLEAN_MARKER = ".mc_init_clean"
 
-    The reference deletes every mc_proc_*, mcdata_*, mc_chkpt_* and log file in
-    the angle directory when restart=INITALIZE finds a non-empty directory
-    (Src/mcrat.c:507-549, guarded by an MPI barrier so rank 0 cleans before
-    anyone writes).  Ranks here are independent processes with no barrier, so
-    each rank removes its *own* per-rank files plus the shared merged outputs
-    (mcdata_* are regenerated by the merge step, so deleting them from every
-    rank is idempotent).  Without this, append-mode HDF5 writes double-count
-    photons when an initialize run re-uses a dirty directory.
+_STALE_PATTERNS = (
+    "mc_proc_*.h5",
+    "mc_chkpt_*.npz",
+    "mc_chkpt_*.npz.old",
+    "mc_output_*.log",
+    "mcdata_*.h5",
+)
 
-    Returns the number of files removed.
-    """
+
+def _stale_files(mc_dir: str):
     import glob as _glob
 
-    removed = 0
-    patterns = [
+    out = []
+    for pat in _STALE_PATTERNS:
+        out.extend(_glob.glob(os.path.join(mc_dir, pat)))
+    return out
+
+
+def clean_initialize_dir(
+    mc_dir: str, rank: int, cleaner: bool = True, wait_s: float = 30.0
+) -> int:
+    """Delete stale output before an initialize-mode run.
+
+    The reference deletes EVERY mc_proc_*, mcdata_*, mc_chkpt_* and log file
+    in the angle directory when restart=INITALIZE finds a non-empty directory
+    (Src/mcrat.c:507-549, guarded by an MPI barrier so rank 0 cleans before
+    anyone writes).  Ranks here are independent processes with no MPI barrier,
+    so the barrier is replaced by a marker-file protocol: the angle
+    directory's designated ``cleaner`` rank (the lowest rank mapped to it)
+    sweeps the whole stale set — ALL old ranks' files, because a re-initialize
+    with fewer ranks than the previous job must not leave other ranks'
+    mc_proc_*.h5 for merge_all to double-count — and then touches a marker;
+    every other rank waits up to ``wait_s`` for a marker newer than the newest
+    stale file before writing, falling back to a self-only clean if the
+    cleaner never shows (e.g. a deliberately partial re-run).
+
+    Returns the number of files removed by THIS rank.
+    """
+    import time as _time
+
+    marker = os.path.join(mc_dir, _INIT_CLEAN_MARKER)
+    stale = _stale_files(mc_dir)
+
+    def _rm(paths):
+        n = 0
+        for path in paths:
+            try:
+                os.remove(path)
+                n += 1
+            except FileNotFoundError:
+                pass
+        return n
+
+    if cleaner:
+        _rm([marker] if os.path.exists(marker) else [])
+        removed = _rm(stale)
+        with open(marker, "w") as f:
+            f.write(f"{_time.time()}\n")
+        return removed
+
+    if not stale:
+        return 0
+    newest_stale = max(
+        (os.path.getmtime(p) for p in stale if os.path.exists(p)), default=0.0
+    )
+    deadline = _time.monotonic() + wait_s
+    while _time.monotonic() < deadline:
+        try:
+            if os.path.getmtime(marker) >= newest_stale:
+                return 0  # rank 0 already swept everything
+        except OSError:
+            pass
+        _time.sleep(0.2)
+    # rank 0 never cleaned: remove this rank's own files + shared merged
+    # outputs (idempotent), leaving other live ranks' outputs alone
+    own = [
         os.path.join(mc_dir, f"mc_proc_{rank}.h5"),
         os.path.join(mc_dir, f"mc_chkpt_{rank}.npz"),
         os.path.join(mc_dir, f"mc_chkpt_{rank}.npz.old"),
-        os.path.join(mc_dir, "mcdata_*.h5"),
+        os.path.join(mc_dir, f"mc_output_{rank}.log"),
     ]
-    for pat in patterns:
-        for path in _glob.glob(pat) if ("*" in pat) else ([pat] if os.path.exists(pat) else []):
-            try:
-                os.remove(path)
-                removed += 1
-            except FileNotFoundError:
-                pass
-    return removed
+    import glob as _glob
+
+    own = [p for p in own if os.path.exists(p)]
+    own.extend(_glob.glob(os.path.join(mc_dir, "mcdata_*.h5")))
+    return _rm(own)
 
 
 def _append_arrays(photons, meta, new_arrays, dtype):
@@ -178,6 +235,7 @@ def run_rank(
     ph_weight: float = 1e50,
     work: Optional[WorkAssignment] = None,
     write_outputs: bool = True,
+    init_clean_wait_s: float = 30.0,
 ) -> WorkAssignment:
     """Run one rank's full simulation (inject -> transport -> dump -> merge).
 
@@ -191,13 +249,65 @@ def run_rank(
     process decomposition.
     """
     base_dir = base_dir or os.path.join(paths.filepath, paths.mc_path)
+    cleaner = True  # explicit-work callers (elastic) adopt old ranks alone
     if work is None:
         work = decompose_work(par, rank, num_ranks, base_dir)
+        # lowest rank mapped to this angle dir does the full stale sweep (the
+        # reference's per-communicator rank 0, Src/mcrat.c:507-549)
+        procs_per_angle = max(num_ranks // par.n_theta_bins, 1)
+        cleaner = rank == work.angle_id * procs_per_angle
     os.makedirs(work.mc_dir, exist_ok=True)
     if par.restart == "i" and write_outputs:
-        n_rm = clean_initialize_dir(work.mc_dir, rank)
+        n_rm = clean_initialize_dir(
+            work.mc_dir, rank, cleaner=cleaner, wait_s=init_clean_wait_s
+        )
         if n_rm:
             log.info("rank %d: initialize mode removed %d stale output files", rank, n_rm)
+    # per-rank persistent log file (reference: mc_output_<rank>.log,
+    # Src/mcrat.c:567-575; Doc/mcrat_doc.tex:259-263 documents grepping it for
+    # progress) — a crashed rank leaves an on-disk trace of what it was doing
+    log_handler = None
+    if write_outputs:
+        log_handler = logging.FileHandler(
+            os.path.join(work.mc_dir, f"mc_output_{rank}.log")
+        )
+        log_handler.setFormatter(
+            logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+        )
+        log.addHandler(log_handler)
+        if log.level > logging.INFO or log.level == logging.NOTSET:
+            log_handler.setLevel(logging.INFO)
+            log.setLevel(logging.INFO)
+    try:
+        return _run_rank_inner(
+            cfg, par, paths, rank, num_ranks, base_dir,
+            synthetic_frame_factory, key, chunk_rounds, last_frame_override,
+            xsec_cache, progress, mesh, ph_weight, work, write_outputs,
+        )
+    finally:
+        if log_handler is not None:
+            log.removeHandler(log_handler)
+            log_handler.close()
+
+
+def _run_rank_inner(
+    cfg: Config,
+    par: McPar,
+    paths: HydroPaths,
+    rank: int,
+    num_ranks: int,
+    base_dir: str,
+    synthetic_frame_factory,
+    key,
+    chunk_rounds: int,
+    last_frame_override: Optional[int],
+    xsec_cache: Optional[str],
+    progress: bool,
+    mesh,
+    ph_weight: float,
+    work: WorkAssignment,
+    write_outputs: bool,
+) -> WorkAssignment:
     key = key if key is not None else make_key(1234 + rank)
     rng = np.random.default_rng(9876 + rank)
     dtype = cfg.np_dtype()

@@ -150,13 +150,22 @@ def scan_checkpoints(mc_dir: str, last_frame: int) -> List[WorkItem]:
     Src/mcrat_io.c:80): a rank is unfinished iff its injection loop has frames
     left (frame <= frm2) or its scattering loop has frames left
     (scatt_frame <= last_frame).
+
+    Ranks are discovered through BOTH mc_chkpt_<rank>.npz and its .old backup:
+    save_checkpoint's atomic swap has a window where only the .old file exists
+    (the previous primary was just renamed away), and a crash inside it must
+    not make the rank invisible to an elastic restart — load_checkpoint
+    already falls back to .old when the primary is missing.
     """
     items = []
-    for path in sorted(glob.glob(os.path.join(mc_dir, "mc_chkpt_*.npz"))):
-        m = re.search(r"mc_chkpt_(\d+)\.npz$", path)
-        if not m:
-            continue
-        rank = int(m.group(1))
+    ranks = set()
+    for path in glob.glob(os.path.join(mc_dir, "mc_chkpt_*.npz")) + glob.glob(
+        os.path.join(mc_dir, "mc_chkpt_*.npz.old")
+    ):
+        m = re.search(r"mc_chkpt_(\d+)\.npz(\.old)?$", path)
+        if m:
+            ranks.add(int(m.group(1)))
+    for rank in sorted(ranks):
         loaded = load_checkpoint(mc_dir, rank)
         if loaded is None:
             continue

@@ -238,6 +238,9 @@ def test_initialize_mode_cleans_stale_output(tmp_path):
     par = _par(restart="i")
     paths = HydroPaths(filepath=str(tmp_path) + "/", mc_path="MC/")
     factory = default_synthetic_factory(CFG, par, nr=128, ntheta=24)
+    # rank 1 is NOT its angle dir's designated cleaner (rank 0 is), so the
+    # re-run exercises the marker-wait fallback: after wait_s with no cleaner
+    # marker it removes its own files + shared merged outputs
     work = run_rank(
         CFG, par, paths, rank=1, num_ranks=4, chunk_rounds=0,
         synthetic_frame_factory=factory, progress=False,
@@ -253,6 +256,7 @@ def test_initialize_mode_cleans_stale_output(tmp_path):
     run_rank(
         CFG, par, paths, rank=1, num_ranks=4, chunk_rounds=0,
         synthetic_frame_factory=factory, progress=False,
+        init_clean_wait_s=0.5,
     )
     with h5py.File(proc) as f:
         n_second = {k: f[k]["P0"].shape[0] for k in f.keys()}
@@ -261,6 +265,63 @@ def test_initialize_mode_cleans_stale_output(tmp_path):
     for k in n_first:
         assert n_second[k] < 1.5 * n_first[k], (k, n_first[k], n_second[k])
     assert not os.path.exists(stale)
+
+
+def test_reinitialize_with_fewer_ranks_sweeps_all(tmp_path):
+    """A re-initialize with FEWER ranks than the previous job must delete the
+    other old ranks' mc_proc_*.h5 (reference sweeps the whole directory,
+    Src/mcrat.c:507-549) — otherwise merge_all silently double-counts the
+    stale ranks' photons."""
+    import h5py
+
+    par = _par(restart="i")
+    paths = HydroPaths(filepath=str(tmp_path) + "/", mc_path="MC/")
+    factory = default_synthetic_factory(CFG, par, nr=128, ntheta=24)
+    # first job: two ranks share angle bin 0 (frames 10 and 11)
+    work0 = run_rank(
+        CFG, par, paths, rank=0, num_ranks=4, chunk_rounds=0,
+        synthetic_frame_factory=factory, progress=False,
+    )
+    run_rank(
+        CFG, par, paths, rank=1, num_ranks=4, chunk_rounds=0,
+        synthetic_frame_factory=factory, progress=False,
+    )
+    assert os.path.exists(os.path.join(work0.mc_dir, "mc_proc_0.h5"))
+    assert os.path.exists(os.path.join(work0.mc_dir, "mc_proc_1.h5"))
+
+    # second job: ONE rank per angle covers both frames; rank 0 is the
+    # cleaner and must sweep rank 1's stale output before writing
+    work = run_rank(
+        CFG, par, paths, rank=0, num_ranks=2, chunk_rounds=0,
+        synthetic_frame_factory=factory, progress=False,
+    )
+    assert not os.path.exists(os.path.join(work.mc_dir, "mc_proc_1.h5"))
+    merge_rank_outputs(work, par, last_frame=par.last_frame)
+    # merged frame must contain ONLY the second job's photons
+    with h5py.File(os.path.join(work.mc_dir, "mc_proc_0.h5")) as f:
+        n_proc = {k: f[k]["P0"].shape[0] for k in f.keys()}
+    for frame, n in n_proc.items():
+        data = read_frame(os.path.join(work.mc_dir, f"mcdata_{frame}.h5"))
+        assert data["P0"].shape[0] == n, (frame, data["P0"].shape[0], n)
+
+
+def test_scan_checkpoints_discovers_old_backup(tmp_path):
+    """A crash between save_checkpoint's two renames leaves only the .old
+    backup; elastic restart discovery must still find the rank (advisor
+    round-3 finding)."""
+    from mcrat_tpu.io.checkpoint import (
+        CheckpointState, checkpoint_path, save_checkpoint, scan_checkpoints,
+    )
+
+    st = CheckpointState(frame=10, frm2=11, scatt_frame=11, time_now=2.2,
+                         restart="c")
+    save_checkpoint(str(tmp_path), 3, st)
+    # simulate the crash window: primary renamed to .old, new file never landed
+    os.replace(checkpoint_path(str(tmp_path), 3),
+               checkpoint_path(str(tmp_path), 3) + ".old")
+    items = scan_checkpoints(str(tmp_path), last_frame=13)
+    assert [wi.old_rank for wi in items] == [3]
+    assert items[0].state.scatt_frame == 11
 
 
 def test_run_rank_with_cyclosynchrotron(tmp_path):
