@@ -179,43 +179,99 @@ def clean_initialize_dir(
     return _rm(own)
 
 
-def _append_arrays(photons, meta, new_arrays, dtype):
+def _append_arrays(photons, meta, new_arrays, dtype, n_alive=None,
+                   t_rem=None, new_t=None):
     """Append host photon arrays into the fixed-capacity population,
-    growing it if necessary (replaces null-slot recycling, Src/photons.c)."""
+    growing it if necessary (replaces null-slot recycling, Src/photons.c).
+
+    The free-slot search runs ON DEVICE (transport.append_photons_device):
+    the old host-side np.flatnonzero over a fetched alive mask cost a
+    full-population transfer per append — 2-3 per cyclo-synchrotron frame.
+    ``n_alive`` (from the driver's frame_stats tracking) sizes the growth
+    decision; None falls back to one device count fetch.  ``t_rem``/``new_t``
+    thread the per-photon frame-time array through mid-frame appends.
+
+    Returns (photons, meta, n_new, t_rem).
+    """
     import jax.numpy as jnp
 
     if not new_arrays:
-        return photons, meta, 0
+        return photons, meta, 0, t_rem
     n_new = len(new_arrays["weight"])
-    alive = np.asarray(photons.alive)
-    free = np.flatnonzero(~alive)
-    if len(free) < n_new:
-        # grow capacity by ~50% (pow-2 steps bound the number of compiles)
+    if n_alive is None:
+        n_alive = int(jax.device_get(jnp.sum(photons.alive.astype(jnp.int32))))
+    if photons.capacity - n_alive < n_new:
+        # grow capacity (pow-2 steps bound the number of compiles)
         extra = int(2 ** math.ceil(math.log2(photons.capacity + n_new)))
         grown = transport.empty_photons(extra, photons.p.dtype)
-        grown = jax.tree_util.tree_map(
+        photons = jax.tree_util.tree_map(
             lambda g, p: g.at[: p.shape[0]].set(p), grown, photons
         )
-        photons = grown
-        alive = np.asarray(photons.alive)
-        free = np.flatnonzero(~alive)
-    slots = free[:n_new]
-    norm = meta.weight_norm
-
-    def put(buf, val):
-        return buf.at[jnp.asarray(slots)].set(jnp.asarray(val, dtype=buf.dtype))
-
-    photons = photons.replace(
-        p=put(photons.p, new_arrays["p"]),
-        comv_p=put(photons.comv_p, new_arrays["comv_p"]),
-        pos=put(photons.pos, new_arrays["pos"]),
-        s=put(photons.s, new_arrays["s"]),
-        weight=put(photons.weight, new_arrays["weight"] / norm),
-        num_scatt=put(photons.num_scatt, new_arrays["num_scatt"]),
-        cell=put(photons.cell, new_arrays["cell"]),
-        ptype=put(photons.ptype, new_arrays["ptype"]),
+        if t_rem is not None:
+            t_rem = jnp.zeros((extra,), t_rem.dtype).at[: t_rem.shape[0]].set(t_rem)
+    npad = transport._pow2(n_new)
+    new_ph, _ = transport.photons_from_arrays(
+        new_arrays, capacity=npad, dtype=dtype, weight_norm=meta.weight_norm
     )
-    return photons, meta, n_new
+    if t_rem is None:
+        photons = transport.append_photons_device(photons, new_ph)
+        return photons, meta, n_new, None
+    nt = np.zeros(npad, dtype=np.asarray(new_t).dtype)
+    nt[:n_new] = new_t
+    photons, t_rem = transport.append_photons_device(
+        photons, new_ph, t_rem=t_rem, new_t=jnp.asarray(nt, t_rem.dtype)
+    )
+    return photons, meta, n_new, t_rem
+
+
+class _PersistWriter:
+    """Background checkpoint+dump writer.
+
+    The persistence path costs one device->host transfer of the live photon
+    subset plus two disk writes per frame; over the axon tunnel the transfer
+    alone runs at ~25 MB/s, which round 3 measured as the cyclo-synchrotron
+    driver's wall-time floor.  A single worker thread keeps writes ordered
+    (checkpoint first, then the dump gated on its success — reference:
+    Src/mcrat.c:902-915) while the main thread launches the next frame's
+    device work; submit_frame() starts the device->host copies asynchronously
+    before queueing so the transfer itself also overlaps compute.  Any write
+    error surfaces on the next submit_frame()/wait().
+    """
+
+    def __init__(self):
+        import concurrent.futures
+
+        self._ex = concurrent.futures.ThreadPoolExecutor(1)
+        self._fut = None
+
+    def submit_frame(self, cfg, mc_dir, rank, st, sub_ph, meta, scatt_frame):
+        self.wait()  # at most one frame in flight; surfaces prior errors
+        for leaf in jax.tree_util.tree_leaves(sub_ph):
+            try:
+                leaf.copy_to_host_async()
+            except Exception:
+                pass  # non-jax leaves / backends without async copy
+
+        def job():
+            host_ph = jax.device_get(sub_ph)
+            save_checkpoint(mc_dir, rank, st, host_ph)
+            append_photons(
+                cfg, os.path.join(mc_dir, f"mc_proc_{rank}.h5"),
+                scatt_frame, host_ph, meta,
+            )
+
+        self._fut = self._ex.submit(job)
+
+    def wait(self):
+        if self._fut is not None:
+            fut, self._fut = self._fut, None
+            fut.result()
+
+    def close(self):
+        try:
+            self.wait()
+        finally:
+            self._ex.shutdown()
 
 
 def run_rank(
@@ -278,13 +334,16 @@ def run_rank(
         if log.level > logging.INFO or log.level == logging.NOTSET:
             log_handler.setLevel(logging.INFO)
             log.setLevel(logging.INFO)
+    persist = _PersistWriter()
     try:
         return _run_rank_inner(
             cfg, par, paths, rank, num_ranks, base_dir,
             synthetic_frame_factory, key, chunk_rounds, last_frame_override,
             xsec_cache, progress, mesh, ph_weight, work, write_outputs,
+            persist,
         )
     finally:
+        persist.close()
         if log_handler is not None:
             log.removeHandler(log_handler)
             log_handler.close()
@@ -307,6 +366,7 @@ def _run_rank_inner(
     ph_weight: float,
     work: WorkAssignment,
     write_outputs: bool,
+    persist: _PersistWriter,
 ) -> WorkAssignment:
     key = key if key is not None else make_key(1234 + rank)
     rng = np.random.default_rng(9876 + rank)
@@ -348,12 +408,8 @@ def _run_rank_inner(
 
     frame0 = state.frame if state else work.framestart
     # host-side trackers refreshed from the ONE per-frame stats fetch
-    pending_stats = None  # (9,) frame_stats of the previous frame's population
+    pending_stats = None  # (11,) frame_stats of the previous frame's population
     n_pool_host = 0
-    if state is not None and photons is not None:
-        n_pool_host = int(
-            np.sum(np.asarray(photons.ptype) == int(PhotonType.CS_POOL))
-        )
 
     for frame in range(frame0, work.frm2 + 1):
         fresh = state is None or frame != state.frame or state.restart == "i"
@@ -393,6 +449,8 @@ def _run_rank_inner(
                 pending_stats = np.asarray(
                     jax.device_get(transport.frame_stats(photons))
                 )
+                n_pool_host = int(pending_stats[8])
+            n_alive = int(pending_stats[9])
             r_min, r_max, t_min, t_max = (float(x) for x in pending_stats[4:8])
             if cfg.cyclosynchrotron and scatt_frame != scatt_start:
                 lo, hi = cyclosynch.cs_r_limits(scatt_frame, frame, par.fps, work.r_inj)
@@ -409,47 +467,91 @@ def _run_rank_inner(
                     meta.weight_norm, par.max_photons,
                     work.theta_min, work.theta_max, rng,
                 )
-                photons, meta, n_emit = _append_arrays(photons, meta, cs_arrays, dtype)
+                photons, meta, n_emit, _ = _append_arrays(
+                    photons, meta, cs_arrays, dtype, n_alive=n_alive
+                )
+                n_alive += n_emit
                 n_pool_before = n_pool_host + n_emit
 
-            key, sub = jax.random.split(key)
-            if mesh is not None:
-                from .parallel import pad_capacity, shard_photons, sharded_transport_frame
-                from .parallel.mesh import replicate
+            def run_transport(ph, sub, t_rem0=None, cs_limit=None):
+                if mesh is not None:
+                    from .parallel import (
+                        pad_capacity, shard_photons, sharded_transport_frame,
+                    )
+                    from .parallel.mesh import replicate
 
-                nsh = mesh.devices.size
-                if photons.capacity % nsh:
-                    grown = transport.empty_photons(
-                        pad_capacity(photons.capacity, nsh), photons.p.dtype
+                    nsh = mesh.devices.size
+                    if ph.capacity % nsh:
+                        grown = transport.empty_photons(
+                            pad_capacity(ph.capacity, nsh), ph.p.dtype
+                        )
+                        ph = jax.tree_util.tree_map(
+                            lambda g, p: g.at[: p.shape[0]].set(p), grown, ph
+                        )
+                    return sharded_transport_frame(
+                        cfg, mesh, shard_photons(ph, mesh),
+                        replicate(frame_dev, mesh), replicate(index, mesh),
+                        dt_frame, sub, xsec_table=xsec_table,
+                        stokes_on=cfg.stokes, chunk_rounds=chunk_rounds,
+                        t_rem0=t_rem0, cs_limit=cs_limit,
                     )
-                    photons = jax.tree_util.tree_map(
-                        lambda g, p: g.at[: p.shape[0]].set(p), grown, photons
-                    )
-                res = sharded_transport_frame(
-                    cfg, mesh, shard_photons(photons, mesh),
-                    replicate(frame_dev, mesh), replicate(index, mesh),
-                    dt_frame, sub, xsec_table=xsec_table, stokes_on=cfg.stokes,
-                    chunk_rounds=chunk_rounds,
-                )
-            else:
-                res = transport.transport_frame(
-                    cfg, photons, frame_dev, index, dt_frame, sub,
+                return transport.transport_frame(
+                    cfg, ph, frame_dev, index, dt_frame, sub,
                     xsec_table=xsec_table, stokes_on=cfg.stokes,
-                    chunk_rounds=chunk_rounds,
+                    chunk_rounds=chunk_rounds, t_rem0=t_rem0, cs_limit=cs_limit,
                 )
-            photons = res.photons
+
+            # transport, with the mid-frame rebin trigger armed when
+            # cyclo-synchrotron is live: a CS-heavy frame merges its scattered
+            # pool photons at chunk boundaries instead of letting the
+            # COMPTONIZED population grow unboundedly until the frame ends
+            # (reference: every-1000-scatterings check, Src/mcrat.c:819-830)
+            cs_limit = par.max_photons if cs_active else None
+            n_scatt_frame = 0
+            rounds_frame = 0
+            t0 = None
+            while True:
+                key, sub = jax.random.split(key)
+                res = run_transport(photons, sub, t_rem0=t0, cs_limit=cs_limit)
+                photons = res.photons
+                n_scatt_frame += int(res.n_scatt)
+                rounds_frame += int(res.n_rounds)
+                if not res.rebin_pending:
+                    break
+                photons, merged, merged_t = cyclosynch.rebin_population(
+                    cfg, photons, meta, par.max_photons, n_cs=res.n_cs,
+                    t_rem=res.t_rem,
+                )
+                t0 = res.t_rem
+                n_alive -= res.n_cs
+                if merged is not None:
+                    merged = dict(merged)
+                    merged["weight"] = merged["weight"] * meta.weight_norm
+                    photons, meta, n_mrg, t0 = _append_arrays(
+                        photons, meta, merged, dtype, n_alive=n_alive,
+                        t_rem=t0, new_t=merged_t,
+                    )
+                    n_alive += n_mrg
+                log.info(
+                    "rank %d frame %d scatt %d: mid-frame rebin %d -> %d CS photons",
+                    rank, frame, scatt_frame, res.n_cs,
+                    0 if merged is None else len(merged["weight"]),
+                )
             time_now += dt_frame
 
             if cs_active:
                 # one-for-one pool replenishment for scattered (promoted) pool
                 # photons (reference: Src/mcrat.c:791-808), then rebin the
                 # scattered-CS population if it exceeds the cap, then absorb
-                # below-nu_c photons (reference: Src/mcrat.c:819-830, 853-878)
-                n_pool_after = int(
-                    jax.device_get(
-                        transport.frame_stats(photons)[8]
-                    )
+                # below-nu_c photons (reference: Src/mcrat.c:819-830, 853-878).
+                # ONE combined stats fetch feeds the pool deficit, the free-
+                # slot count, and the rebin trigger.
+                stats_mid = np.asarray(
+                    jax.device_get(transport.frame_stats(photons))
                 )
+                n_pool_after = int(stats_mid[8])
+                n_alive = int(stats_mid[9])
+                n_cs_now = int(stats_mid[10])
                 deficit = n_pool_before - n_pool_after
                 if deficit > 0:
                     repl = cyclosynch.emit_pool_replacements(
@@ -457,20 +559,28 @@ def _run_rank_inner(
                         meta.weight_norm, deficit,
                         work.theta_min, work.theta_max, rng,
                     )
-                    photons, meta, _ = _append_arrays(photons, meta, repl, dtype)
-                photons, merged = cyclosynch.rebin_population(
-                    cfg, photons, meta, par.max_photons
+                    photons, meta, n_rep, _ = _append_arrays(
+                        photons, meta, repl, dtype, n_alive=n_alive
+                    )
+                    n_alive += n_rep
+                photons, merged, _ = cyclosynch.rebin_population(
+                    cfg, photons, meta, par.max_photons, n_cs=n_cs_now
                 )
                 if merged is not None:
+                    n_alive -= n_cs_now
                     merged = dict(merged)
                     merged["weight"] = merged["weight"] * meta.weight_norm
-                    photons, meta, _ = _append_arrays(photons, meta, merged, dtype)
+                    photons, meta, n_mrg, _ = _append_arrays(
+                        photons, meta, merged, dtype, n_alive=n_alive
+                    )
+                    n_alive += n_mrg
                 photons, n_abs, _w_abs = cyclosynch.apply_absorption(
                     cfg, frame_dev, photons
                 )
 
             # end-of-frame combined fetch: scattering stats for logging, the
-            # NEXT frame's decimation bounds, and the surviving pool count
+            # NEXT frame's decimation bounds, the surviving pool count, and
+            # the live count that sizes the persistence subset
             pending_stats = np.asarray(
                 jax.device_get(transport.frame_stats(photons))
             )
@@ -480,34 +590,35 @@ def _run_rank_inner(
                 log.info(
                     "rank %d frame %d scatt %d: %d scatterings (%d rounds); "
                     "num_scatt max/mean %.0f/%.2f; <r> %.3e",
-                    rank, frame, scatt_frame, int(res.n_scatt), int(res.n_rounds),
+                    rank, frame, scatt_frame, n_scatt_frame, rounds_frame,
                     mx, mean, r_avg,
                 )
 
             if write_outputs:
-                # in a multi-host mesh only host 0 owns the files (the data is
-                # fully addressable from any host; jax gathers the shards)
                 st = CheckpointState(
                     frame=frame, frm2=work.frm2, scatt_frame=scatt_frame + 1,
                     time_now=time_now, restart="c",
                     weight_norm=meta.weight_norm, n_injected=meta.n_injected,
                 )
-                # ONE device fetch shared by the checkpoint and the photon
-                # dump — each used to pull the same ~40 MB population
-                # separately, and the host link is the driver's wall-time
-                # floor once transport itself is sub-second
-                photons_host = jax.device_get(photons)
-                save_checkpoint(work.mc_dir, rank, st, photons_host)
-                # photon dump gated on checkpoint success, which save_checkpoint
-                # guarantees by raising on failure (reference: Src/mcrat.c:902-915)
-                append_photons(
-                    cfg, os.path.join(work.mc_dir, f"mc_proc_{rank}.h5"),
-                    scatt_frame, photons_host, meta,
+                # Persistence fetches ONLY the live lanes (dead lanes are pure
+                # tunnel traffic at ~40 ms/MB) and runs on a background writer
+                # thread overlapped with the next frame's compute; the fetch
+                # starts asynchronously here so the transfer itself also
+                # overlaps.  Ordering (checkpoint, then the dump gated on its
+                # success — reference: Src/mcrat.c:902-915) is preserved by
+                # the single-worker queue.
+                n_live_now = int(pending_stats[9])
+                sub_ph = transport.compact_live(
+                    photons, min(transport._pow2(n_live_now), photons.capacity)
+                )
+                persist.submit_frame(
+                    cfg, work.mc_dir, rank, st, sub_ph, meta, scatt_frame
                 )
 
         # injection-complete marker (reference: mcrat_io.c:966-1001)
         state = None
         if write_outputs:
+            persist.wait()
             save_checkpoint(
                 work.mc_dir, rank,
                 CheckpointState(

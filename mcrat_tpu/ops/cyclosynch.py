@@ -394,6 +394,7 @@ def rebin_comptonized(
     cfg: Config,
     photons_np: dict,
     max_photons: int,
+    extra: Optional[dict] = None,
 ) -> dict:
     """Merge scattered-CS photons onto a (log E, theta[, phi]) histogram.
 
@@ -405,7 +406,10 @@ def rebin_comptonized(
     the merged photons COMPTONIZED with recalc_properties=1).
 
     ``photons_np``: dict of numpy arrays for the photons to merge (lab p,
-    comv_p, pos, s, weight, num_scatt).  Returns the merged dict.
+    comv_p, pos, s, weight, num_scatt).  ``extra`` maps names to additional
+    per-photon scalars that get the same weighted per-bin average (the
+    mid-frame rebin passes the remaining frame time through it).  Returns the
+    merged dict (with the extra keys included).
     """
     w = photons_np["weight"]
     if len(w) == 0:
@@ -463,6 +467,9 @@ def rebin_comptonized(
         cell=np.zeros(len(occupied), np.int32),
         ptype=np.full(len(occupied), int(PhotonType.COMPTONIZED), np.int32),
     )
+    if extra:
+        for k, v in extra.items():
+            out[k] = wavg(np.asarray(v))
     return out
 
 
@@ -600,41 +607,48 @@ def emit_pool_replacements(
     )
 
 
-def rebin_population(cfg: Config, photons, meta, max_photons: int):
+def rebin_population(
+    cfg: Config, photons, meta, max_photons: int, n_cs: Optional[int] = None,
+    t_rem=None,
+):
     """Rebin the scattered-CS photons of a device population if they exceed
     ``max_photons``.
 
-    Host-side wrapper around :func:`rebin_comptonized`: pulls COMPTONIZED /
-    UNABSORBED_CS photons to the host, merges them, nulls the originals, and
-    returns (photons, merged_arrays_to_append | None).  Trigger condition per
-    the reference driver (Src/mcrat.c:819-830, 853-877).
-    """
-    import jax.numpy as jnp
+    Device/host split re-design of the reference trigger (Src/mcrat.c:819-830,
+    853-877): the CS lanes are gathered into a compact buffer and nulled in
+    ONE device executable (transport.extract_cs_subset), the compact subset —
+    not the full population — is fetched in ONE transfer, merged on the host
+    (:func:`rebin_comptonized`), and the caller appends the merged set back.
+    ``n_cs`` is the live scattered-CS count from frame_stats / the chunk
+    fetch; passing it avoids any extra device round-trip for the trigger
+    test.  ``t_rem`` (mid-frame rebin) rides along and comes back as the
+    merged photons' weighted-average remaining frame time.
 
-    ptype = np.asarray(photons.ptype)
-    w = np.asarray(photons.weight)
-    cs_mask = (
-        ((ptype == int(PhotonType.COMPTONIZED)) | (ptype == int(PhotonType.UNABSORBED_CS)))
-        & (w > 0)
-    )
-    n_cs = int(cs_mask.sum())
+    Returns (photons, merged_arrays | None, merged_t | None); merged weights
+    are in normalized population units.
+    """
+    import jax
+
+    from .. import transport as tr
+
+    if n_cs is None:
+        n_cs = int(jax.device_get(tr._count_cs(photons)))
     if n_cs <= max_photons:
-        return photons, None
-    idx = np.flatnonzero(cs_mask)
-    sub = dict(
-        p=np.asarray(photons.p, dtype=np.float64)[idx],
-        comv_p=np.asarray(photons.comv_p, dtype=np.float64)[idx],
-        pos=np.asarray(photons.pos, dtype=np.float64)[idx],
-        s=np.asarray(photons.s, dtype=np.float64)[idx],
-        weight=w[idx].astype(np.float64),
-        num_scatt=np.asarray(photons.num_scatt, dtype=np.float64)[idx],
+        return photons, None, None
+    npad = tr._pow2(n_cs)
+    nulled, sub, sub_t = tr.extract_cs_subset(photons, npad, t_rem=t_rem)
+    host = jax.device_get(
+        [sub.p, sub.comv_p, sub.pos, sub.s, sub.weight, sub.num_scatt, sub_t]
     )
-    merged = rebin_comptonized(cfg, sub, max_photons)
-    # null the originals; the caller appends the merged set into free slots
-    sel = jnp.asarray(idx)
-    photons = photons.replace(
-        weight=photons.weight.at[sel].set(0.0),
-        ptype=photons.ptype.at[sel].set(int(PhotonType.NULL)),
+    p, comv_p, pos, s, w, ns, t_sub = (
+        np.asarray(a, dtype=np.float64) for a in host
     )
-    # merged weights are in normalized units already (population weights)
-    return photons, merged
+    live = w > 0
+    subd = dict(
+        p=p[live], comv_p=comv_p[live], pos=pos[live], s=s[live],
+        weight=w[live], num_scatt=ns[live],
+    )
+    extra = {"t_rem": t_sub[live]} if t_rem is not None else None
+    merged = rebin_comptonized(cfg, subd, max_photons, extra=extra)
+    merged_t = merged.pop("t_rem", None)
+    return nulled, merged, merged_t

@@ -148,7 +148,7 @@ def _sharded_chunk(
                   P(BATCH_AXIS), P(BATCH_AXIS)),
         out_specs=ChunkResult(
             photons=pspec, t_rem=P(BATCH_AXIS), n_scatt=P(), n_rounds=P(),
-            all_done=P(), n_active=P(),
+            all_done=P(), n_active=P(), n_cs=P(),
         ),
         # The transport while_loop mixes device-varying carries (photon state,
         # per-shard keys) with unvarying literals; skip the vma consistency
@@ -179,6 +179,7 @@ def _sharded_chunk(
             n_rounds=jax.lax.pmax(res.n_rounds, BATCH_AXIS),
             all_done=done_all,
             n_active=jax.lax.psum(res.n_active, BATCH_AXIS),
+            n_cs=jax.lax.psum(res.n_cs, BATCH_AXIS),
         )
 
     return step(photons, frame, index, xsec_table, t_rem, keys)
@@ -201,6 +202,8 @@ def sharded_transport_frame(
     interpret: bool = False,
     s_rows: int = 128,
     inner_rounds: int = 4,
+    t_rem0=None,
+    cs_limit=None,
 ) -> FrameResult:
     """Transport one hydro frame with the photon axis sharded over ``mesh``.
 
@@ -263,5 +266,5 @@ def sharded_transport_frame(
         cfg, photons, frame, index, dt_max, key,
         chunk_rounds=chunk_rounds, progress=progress, compact=compact,
         min_compact_capacity=max(1024, n_shards * 128),
-        step_fn=step_fn, reshard=reshard,
+        step_fn=step_fn, reshard=reshard, t_rem0=t_rem0, cs_limit=cs_limit,
     )

@@ -259,7 +259,9 @@ def inject_photons(
     )
     beta = -np.stack([np.asarray(bx), np.asarray(by), np.asarray(bz)], axis=-1)
     # comoving -> lab boost (boost velocity = -v_fluid; reference: mclib.c:245-250)
-    p_lab = np.asarray(lorentz_boost(jnp.asarray(beta), jnp.asarray(p_comv)))
+    # — on HOST numpy: injection is host-side work, and routing the boost
+    # through the device cost a ~6 MB round-trip over the axon tunnel
+    p_lab = np.asarray(lorentz_boost(beta, p_comv))
 
     # uniform position inside the cell (reference: mclib.c:263-270)
     u0 = (rng.random(n) - 0.5) * host.dr0[cell_idx]
@@ -330,6 +332,12 @@ class FrameResult(NamedTuple):
     n_rounds: int  # while-loop trips taken (host ints: they come from the
     # chunk fetch, and re-wrapping them as device arrays would cost one more
     # tunnel round-trip per frame)
+    t_rem: Optional[jax.Array] = None  # (N,) remaining frame time (set when
+    # the frame exits early for a mid-frame rebin, so the caller can resume)
+    rebin_pending: bool = False  # True => scattered-CS population exceeded
+    # cs_limit mid-frame; caller must rebin and re-enter with t_rem
+    n_cs: Optional[int] = None  # live scattered-CS count from the last chunk
+    # fetch (host int; set only when cs_limit was armed)
 
 
 class ChunkResult(NamedTuple):
@@ -339,6 +347,17 @@ class ChunkResult(NamedTuple):
     n_rounds: jax.Array
     all_done: jax.Array  # scalar bool: no active photons remain this frame
     n_active: jax.Array  # scalar int32: photons still alive with time left
+    n_cs: jax.Array  # scalar int32: live scattered-CS photons (COMPTONIZED |
+    # UNABSORBED_CS) — the mid-frame rebin trigger count
+    # (reference: Src/mcrat.c:819-830)
+
+
+def _count_cs(photons: Photons) -> jax.Array:
+    """Live scattered-CS photon count (rebin trigger population)."""
+    is_cs = (photons.ptype == int(PhotonType.COMPTONIZED)) | (
+        photons.ptype == int(PhotonType.UNABSORBED_CS)
+    )
+    return jnp.sum((photons.alive & is_cs).astype(jnp.int32)).astype(jnp.int32)
 
 
 def _tau_rate(cfg: Config, frame: HydroFrame, photons: Photons, cell, xsec_table=None, rows=None):
@@ -568,6 +587,7 @@ def transport_rounds(
         photons=ph, t_rem=t_rem, n_scatt=n_scatt, n_rounds=rounds,
         all_done=~jnp.any(active),
         n_active=jnp.sum(active.astype(jnp.int32)).astype(jnp.int32),
+        n_cs=_count_cs(ph),
     )
 
 
@@ -916,6 +936,7 @@ def transport_rounds_fused(
         photons=ph, t_rem=t_out, n_scatt=n_scatt, n_rounds=rounds,
         all_done=~jnp.any(active),
         n_active=jnp.sum(active.astype(jnp.int32)).astype(jnp.int32),
+        n_cs=_count_cs(ph),
     )
 
 
@@ -1017,8 +1038,17 @@ def transport_frame(
     fused=None,
     step_fn=None,
     reshard=None,
+    t_rem0=None,
+    cs_limit: Optional[int] = None,
 ) -> FrameResult:
     """Advance the whole population through one hydro-frame time window.
+
+    ``t_rem0`` resumes a partially-transported frame (per-photon time left,
+    as returned by an early exit).  ``cs_limit`` arms the mid-frame rebin
+    trigger (reference: every-1000-scatterings check, Src/mcrat.c:819-830):
+    when the live scattered-CS count exceeds it at a chunk boundary, the
+    frame exits early with ``rebin_pending=True`` and ``t_rem`` set so the
+    driver can rebin the population and re-enter.
 
     Host-level wrapper over :func:`transport_rounds` (or its Pallas
     fused-kernel twin :func:`transport_rounds_fused` when
@@ -1044,13 +1074,14 @@ def transport_frame(
     after each compaction gather so a mesh caller can rebalance the shrunken
     buffer across its devices.
     """
-    t_rem = frame_time(photons, dt_max)
+    t_rem = frame_time(photons, dt_max) if t_rem0 is None else t_rem0
     n_scatt_total = 0
     rounds_total = 0
     # working-set state: photons/t_rem of the current buffer + original slots
     work_ph, work_t = photons, t_rem
     slots = None  # None => working set is the full population
     result_ph = photons
+    rebin_pending = False
 
     while True:
         key, sub = jax.random.split(key)
@@ -1086,12 +1117,20 @@ def transport_frame(
         fetch = [res.n_scatt, res.n_rounds, res.all_done]
         if will_compact:
             fetch.append(res.n_active)
+        if cs_limit is not None:
+            fetch.append(res.n_cs)
         fetched = jax.device_get(fetch)
         n_scatt_total += int(fetched[0])
         rounds_total += int(fetched[1])
         if progress is not None:
             progress(n_scatt_total, rounds_total)
         done = bool(fetched[2])
+        if cs_limit is not None and int(fetched[-1]) > cs_limit and not done:
+            # mid-frame rebin trigger: exit with the frame time preserved so
+            # the driver can merge the scattered-CS population and resume
+            # (reference: Src/mcrat.c:819-830)
+            rebin_pending = True
+            break
         if done or chunk_rounds == 0 or rounds_total >= cfg.max_rounds_per_frame:
             break
         if will_compact:
@@ -1107,15 +1146,21 @@ def transport_frame(
                 if reshard is not None:
                     work_ph, work_t = reshard(work_ph, work_t)
 
-    # final write-back
+    # final write-back (photon state + remaining frame time)
     if slots is None:
-        result_ph = work_ph
+        result_ph, result_t = work_ph, work_t
     else:
         result_ph = _scatter_photons(result_ph, slots, work_ph)
+        result_t = jnp.zeros((result_ph.capacity,), work_t.dtype).at[slots].set(
+            work_t, mode="drop"
+        )
     return FrameResult(
         photons=result_ph,
         n_scatt=n_scatt_total,
         n_rounds=rounds_total,
+        t_rem=result_t,
+        rebin_pending=rebin_pending,
+        n_cs=int(fetched[-1]) if cs_limit is not None else None,
     )
 
 
@@ -1153,7 +1198,7 @@ def scatt_stats(photons: Photons):
 
 @jax.jit
 def frame_stats(photons: Photons) -> jax.Array:
-    """All per-frame driver statistics as ONE (9,) device array.
+    """All per-frame driver statistics as ONE (11,) device array.
 
     Coalesces scatt_stats + ph_min_max + the cyclo-synchrotron pool count so
     the driver issues a single host<->device fetch per frame instead of 8-10
@@ -1163,11 +1208,15 @@ def frame_stats(photons: Photons) -> jax.Array:
         [0:4] scatt_stats  (max, min, mean num_scatt, mean r)
         [4:8] ph_min_max   (r_min, r_max, theta_min, theta_max)
         [8]   live CS_POOL photon count
+        [9]   live photon count (free slots = capacity - [9]; lets the driver
+              run device-side appends without ever fetching the alive mask)
+        [10]  live scattered-CS count (rebin trigger, Src/mcrat.c:819-830)
     """
     mx, mn, mean, r_mean = scatt_stats(photons)
     r_min, r_max, t_min, t_max = ph_min_max(photons)
+    alive = photons.alive
     n_pool = jnp.sum(
-        photons.alive & (photons.ptype == int(PhotonType.CS_POOL))
+        alive & (photons.ptype == int(PhotonType.CS_POOL))
     )
     dtype = photons.p.dtype
     return jnp.stack(
@@ -1175,7 +1224,108 @@ def frame_stats(photons: Photons) -> jax.Array:
             mx.astype(dtype), mn.astype(dtype), mean.astype(dtype),
             r_mean.astype(dtype), r_min, r_max, t_min, t_max,
             n_pool.astype(dtype),
+            jnp.sum(alive).astype(dtype),
+            _count_cs(photons).astype(dtype),
         ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device-side population surgery: append / subset-extract / live-compact.
+# Each is ONE executable so the driver's cyclo-synchrotron frame boundary
+# never fetches a full-population mask or array just to do bookkeeping
+# (every full-population fetch costs ~40 ms/MB over the axon tunnel).
+# ---------------------------------------------------------------------------
+
+
+def _pow2(n: int, floor: int = 1024) -> int:
+    import math as _math
+
+    return max(floor, 1 << int(np.ceil(np.log2(max(n, 1)))))
+
+
+@jax.jit
+def append_photons_device(photons: Photons, new: Photons, t_rem=None,
+                          new_t=None):
+    """Write ``new``'s live lanes into ``photons``' free slots, on device.
+
+    Replaces the host-side free-slot search (np.flatnonzero over a fetched
+    alive mask — a full-population fetch per append).  ``new`` is a padded
+    fixed-capacity population whose dead lanes are dropped.  The caller must
+    guarantee enough free slots (capacity - n_alive >= new live count, known
+    from frame_stats); overflow lanes are silently dropped by the scatter.
+
+    With ``t_rem``/``new_t`` the per-photon frame-time array is appended the
+    same way (mid-frame rebin re-inserts merged photons with time left).
+    """
+    n_new = new.capacity
+    valid = new.alive
+    free = jnp.nonzero(~photons.alive, size=n_new, fill_value=photons.capacity)[0]
+    slots = jnp.where(valid, free, photons.capacity)
+    out = jax.tree_util.tree_map(
+        lambda d, s: d.at[slots].set(s.astype(d.dtype), mode="drop"),
+        photons, new,
+    )
+    if t_rem is None:
+        return out
+    return out, t_rem.at[slots].set(new_t.astype(t_rem.dtype), mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("n_out",))
+def extract_cs_subset(photons: Photons, n_out: int, t_rem=None):
+    """Gather the live scattered-CS lanes into an ``n_out`` buffer and null
+    them in the population — the device half of rebinning.
+
+    Returns (photons_with_cs_nulled, subset, subset_t) where ``subset`` is a
+    Photons of capacity ``n_out`` (pad lanes dead) ready for ONE host fetch,
+    and ``subset_t`` the matching frame-time slice (zeros when ``t_rem`` is
+    None).  The caller sizes ``n_out`` from frame_stats' CS count (a power of
+    two bounds the number of compiled shapes).
+    """
+    is_cs = photons.alive & (
+        (photons.ptype == int(PhotonType.COMPTONIZED))
+        | (photons.ptype == int(PhotonType.UNABSORBED_CS))
+    )
+    idx = jnp.nonzero(is_cs, size=n_out, fill_value=-1)[0]
+    valid = idx >= 0
+    safe = jnp.where(valid, idx, 0)
+    sub = _gather_photons(photons, safe)
+    sub = sub.replace(
+        weight=jnp.where(valid, sub.weight, 0.0),
+        ptype=jnp.where(
+            valid, sub.ptype, jnp.asarray(int(PhotonType.NULL), sub.ptype.dtype)
+        ),
+    )
+    sub_t = (
+        jnp.where(valid, t_rem[safe], 0.0)
+        if t_rem is not None
+        else jnp.zeros((n_out,), photons.weight.dtype)
+    )
+    nulled = photons.replace(
+        weight=jnp.where(is_cs, 0.0, photons.weight),
+        ptype=jnp.where(is_cs, int(PhotonType.NULL), photons.ptype),
+    )
+    return nulled, sub, sub_t
+
+
+@functools.partial(jax.jit, static_argnames=("n_out",))
+def compact_live(photons: Photons, n_out: int) -> Photons:
+    """Gather the live lanes into an ``n_out``-capacity buffer.
+
+    The persistence path (checkpoint + HDF5 dump) fetches THIS instead of the
+    full population: dead lanes are pure tunnel traffic (~40 ms/MB), and both
+    consumers already ignore them.  ``n_out`` = pow2(n_alive) from
+    frame_stats.
+    """
+    idx = jnp.nonzero(photons.alive, size=n_out, fill_value=-1)[0]
+    valid = idx >= 0
+    safe = jnp.where(valid, idx, 0)
+    sub = _gather_photons(photons, safe)
+    return sub.replace(
+        weight=jnp.where(valid, sub.weight, 0.0),
+        ptype=jnp.where(
+            valid, sub.ptype, jnp.asarray(int(PhotonType.NULL), sub.ptype.dtype)
+        ),
     )
 
 

@@ -165,3 +165,82 @@ def test_ghisellini_cross_section_positive():
     val = cs.syn_cross_section(CFG, el_dens=np.array([1e15]), temp=np.array([1e9]),
                                nu_ph=np.array([1e10]), p_el=np.array([0.5]))
     assert np.isfinite(val).all() and (val > 0).all()
+
+
+def test_midframe_rebin_trigger(host):
+    """transport_frame with cs_limit armed exits early when the scattered-CS
+    population exceeds the cap, preserving the per-photon frame time so the
+    driver can rebin and resume (reference: every-1000-scatterings check,
+    Src/mcrat.c:819-830)."""
+    from mcrat_tpu.grid import build_rectilinear_index
+    import jax
+
+    h, edges = host
+    frame = h.to_device(dtype=jnp.float64)
+    idx = build_rectilinear_index(*edges, dtype="float64")
+    rng = np.random.default_rng(3)
+    n = 4096
+    e = np.full(n, 1e-6)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    arrays = dict(
+        p=np.concatenate([e[:, None], e[:, None] * d], axis=1),
+        comv_p=np.concatenate([e[:, None], e[:, None] * d], axis=1),
+        pos=np.stack([np.full(n, 1e12), np.zeros(n), np.full(n, 2.7e12)], axis=-1),
+        s=np.tile([1.0, 0.0, 0.0, 0.0], (n, 1)),
+        weight=np.ones(n),
+        num_scatt=np.zeros(n),
+        cell=np.full(n, -1, np.int32),
+        ptype=np.full(n, int(PhotonType.COMPTONIZED), np.int32),
+    )
+    ph, meta = transport.photons_from_arrays(arrays, capacity=n, dtype=jnp.float64)
+    res = transport.transport_frame(
+        CFG, ph, frame, idx, 0.2, jax.random.PRNGKey(0),
+        chunk_rounds=4, cs_limit=100,
+    )
+    assert res.rebin_pending and res.n_cs is not None and res.n_cs > 100
+    assert res.t_rem is not None and float(jnp.max(res.t_rem)) > 0.0
+
+    # the driver half: rebin_population merges the subset on device+host and
+    # returns the merged photons' weighted-average remaining frame time
+    ph2, merged, merged_t = cs.rebin_population(
+        CFG, res.photons, meta, 100, n_cs=res.n_cs, t_rem=res.t_rem
+    )
+    assert merged is not None and merged_t is not None
+    assert len(merged["weight"]) <= res.n_cs
+    assert (merged_t > 0).all()
+    # originals nulled, weight conserved through the merge
+    w_before = float(jnp.sum(res.photons.weight))
+    w_after = float(jnp.sum(ph2.weight)) + float(np.sum(merged["weight"]))
+    np.testing.assert_allclose(w_after, w_before, rtol=1e-10)
+    assert int(jax.device_get(transport._count_cs(ph2))) == 0
+
+
+def test_driver_midframe_rebin_bounds_cs_population(tmp_path):
+    """A CS-heavy driver run with a tiny rebin cap completes with the
+    COMPTONIZED population bounded (merged mid-frame, not accumulated)."""
+    from mcrat_tpu.config import McPar, Spectrum
+    from mcrat_tpu.driver import default_synthetic_factory, run_rank
+    from mcrat_tpu.io.hydro import HydroPaths
+    import h5py, os
+
+    par = McPar(
+        fps=5.0, last_frame=12, r0_domain=(1e12, 5e13), r1_domain=(0.0, 1.0),
+        r2_domain=(0.0, 0.0), theta_min_deg=0.0, theta_max_deg=6.0,
+        n_theta_bins=1, frm0=(10,), frm2=(10,), inj_radius=(8e12,),
+        spect=Spectrum.BLACKBODY, min_photons=300, max_photons=1200,
+        restart="i",
+    )
+    paths = HydroPaths(filepath=str(tmp_path) + "/", mc_path="MC/")
+    factory = default_synthetic_factory(CFG, par, nr=128, ntheta=24)
+    work = run_rank(
+        CFG, par, paths, rank=0, num_ranks=1, chunk_rounds=8,
+        synthetic_frame_factory=factory, progress=False,
+    )
+    proc = os.path.join(work.mc_dir, "mc_proc_0.h5")
+    with h5py.File(proc) as f:
+        for k in f.keys():
+            pt = np.asarray(f[k]["PT"])
+            n_cs = int(np.sum(pt == b"k") + np.sum(pt == b"c"))
+            # rebinning caps the scattered-CS population near the bin budget
+            assert n_cs <= 2 * par.max_photons, (k, n_cs)
