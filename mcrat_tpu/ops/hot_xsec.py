@@ -62,6 +62,11 @@ class HotCrossSectionTable:
     # gather's operand XLA abandons the vectorized gather path (measured 40 ms
     # vs 0.1 ms per 1M-lane interp on v5e).  None => built on the fly.
     thermal_quad: Optional[jax.Array] = None
+    # STATIC (non-pytree) global surrogate of the first subgroup's
+    # sigma_sub(eps') as a flat float tuple (see _sub1_cheb_static): lets the
+    # fused kernel bake the nonthermal tau fallback as compile-time constants
+    # — no gather, no aux planes, no stall-on-scatter.
+    sub1_cheb: Optional[tuple] = struct.field(pytree_node=False, default=None)
 
 
 def _boosted_xsec(eps, mu, gamma):
@@ -79,6 +84,31 @@ def _gauss_legendre(n, a, b):
     x = 0.5 * (b - a) * x + 0.5 * (b + a)
     w = 0.5 * (b - a) * w
     return x, w
+
+
+def _host_f64():
+    """Context forcing table construction onto the host CPU in true float64.
+
+    The build MUST NOT run on the accelerator with the session's default
+    precision: on the TPU float64 is emulated (and the x64 flag is usually
+    off, silently degrading to float32), and a round-3 cache built that way
+    carried 1237 underflowed floor entries in the table INTERIOR — which the
+    bilinear interpolation and especially the per-cell Chebyshev fits then
+    amplified into wildly wrong cross sections.
+    """
+    import contextlib
+
+    stack = contextlib.ExitStack()
+    stack.enter_context(jax.default_device(jax.devices("cpu")[0]))
+    stack.enter_context(jax.enable_x64())
+    return stack
+
+
+# log10 sigma_hat never falls below ~-11 anywhere on the physical table
+# domain (the worst corner, eps'=1e6 with theta=1e4, has sigma_KN of the
+# boosted energy ~1e-11); any entry at the 1e-30 numerical floor is
+# therefore an underflow artifact, not physics.
+_TABLE_SANITY_FLOOR = -20.0
 
 
 def build_thermal_table(n_gamma_nodes: int = 96, n_mu_nodes: int = 64) -> tuple:
@@ -104,21 +134,22 @@ def build_thermal_table(n_gamma_nodes: int = 96, n_mu_nodes: int = 64) -> tuple:
     g_x01 = 0.5 * (g_x01 + 1.0)
     g_w01 = 0.5 * g_w01
 
-    th = jnp.asarray(theta)[:, None]  # (T, 1)
-    gamma = 1.0 + 12.0 * th * jnp.asarray(g_x01)[None, :]  # (T, G)
-    g_w = 12.0 * th * jnp.asarray(g_w01)[None, :]  # (T, G)
-    mj = maxwell_juttner_pdf(gamma, th)  # (T, G)
+    with _host_f64():
+        th = jnp.asarray(theta, jnp.float64)[:, None]  # (T, 1)
+        gamma = 1.0 + 12.0 * th * jnp.asarray(g_x01)[None, :]  # (T, G)
+        g_w = 12.0 * th * jnp.asarray(g_w01)[None, :]  # (T, G)
+        mj = maxwell_juttner_pdf(gamma, th)  # (T, G)
 
-    @jax.jit
-    def entry_for_eps(e):
-        # integrand over (T, G, M)
-        val = _boosted_xsec(e, jnp.asarray(mu_x)[None, None, :], gamma[..., None])
-        inner = jnp.sum(val * jnp.asarray(mu_w)[None, None, :], axis=-1)  # (T, G)
-        return 0.5 * jnp.sum(mj * inner * g_w, axis=-1)  # (T,)
+        @jax.jit
+        def entry_for_eps(e):
+            # integrand over (T, G, M)
+            val = _boosted_xsec(e, jnp.asarray(mu_x)[None, None, :], gamma[..., None])
+            inner = jnp.sum(val * jnp.asarray(mu_w)[None, None, :], axis=-1)  # (T, G)
+            return 0.5 * jnp.sum(mj * inner * g_w, axis=-1)  # (T,)
 
-    rows = []
-    for e in eps:
-        rows.append(np.asarray(entry_for_eps(jnp.float64(e)), dtype=np.float64))
+        rows = []
+        for e in eps:
+            rows.append(np.asarray(entry_for_eps(jnp.float64(e)), dtype=np.float64))
     table = np.stack(rows, axis=0)  # (E, T)
     # clip away quadrature noise before taking logs; the floor must survive a
     # float32 cast (1e-300 underflows to 0 there, and log10(0) = -inf poisons
@@ -145,32 +176,35 @@ def build_nonthermal_table(cfg: Config, n_gamma_nodes: int = 128, n_mu_nodes: in
     mu_x, mu_w = _gauss_legendre(n_mu_nodes, -1.0, 1.0)
 
     cols = []
-    for i in range(cfg.n_gamma):
-        g_lo, g_hi = 10.0 ** (lg_min + i * dg), 10.0 ** (lg_min + (i + 1) * dg)
-        g_x, g_w = _gauss_legendre(n_gamma_nodes, g_lo, g_hi)
-        if cfg.nonthermal_e_dist is NonthermalDist.POWERLAW:
-            pdf = power_law_pdf(
-                jnp.asarray(g_x), cfg.powerlaw_index, cfg.gamma_min, cfg.gamma_max
-            )
-        else:
-            pdf = broken_power_law_pdf(
-                jnp.asarray(g_x),
-                cfg.powerlaw_index_1,
-                cfg.powerlaw_index_2,
-                cfg.gamma_min,
-                cfg.gamma_max,
-                cfg.gamma_break,
-            )
+    with _host_f64():
+        for i in range(cfg.n_gamma):
+            g_lo, g_hi = 10.0 ** (lg_min + i * dg), 10.0 ** (lg_min + (i + 1) * dg)
+            g_x, g_w = _gauss_legendre(n_gamma_nodes, g_lo, g_hi)
+            if cfg.nonthermal_e_dist is NonthermalDist.POWERLAW:
+                pdf = power_law_pdf(
+                    jnp.asarray(g_x), cfg.powerlaw_index, cfg.gamma_min, cfg.gamma_max
+                )
+            else:
+                pdf = broken_power_law_pdf(
+                    jnp.asarray(g_x),
+                    cfg.powerlaw_index_1,
+                    cfg.powerlaw_index_2,
+                    cfg.gamma_min,
+                    cfg.gamma_max,
+                    cfg.gamma_break,
+                )
 
-        @jax.jit
-        def col(e):
-            val = _boosted_xsec(
-                e, jnp.asarray(mu_x)[None, :], jnp.asarray(g_x)[:, None]
-            )
-            inner = jnp.sum(val * jnp.asarray(mu_w)[None, :], axis=-1)  # (G,)
-            return 0.5 * jnp.sum(pdf * inner * jnp.asarray(g_w))
+            @jax.jit
+            def col(e):
+                val = _boosted_xsec(
+                    e, jnp.asarray(mu_x)[None, :], jnp.asarray(g_x)[:, None]
+                )
+                inner = jnp.sum(val * jnp.asarray(mu_w)[None, :], axis=-1)  # (G,)
+                return 0.5 * jnp.sum(pdf * inner * jnp.asarray(g_w))
 
-        cols.append(np.asarray([col(jnp.float64(e)) for e in eps], dtype=np.float64))
+            cols.append(
+                np.asarray([col(jnp.float64(e)) for e in eps], dtype=np.float64)
+            )
     table = np.stack(cols, axis=-1)
     # 1e-30 floor: float32-safe (see build_thermal_table)
     return log_e, np.log10(np.maximum(table, 1e-30))
@@ -181,7 +215,11 @@ def build_nonthermal_table(cfg: Config, n_gamma_nodes: int = 128, n_mu_nodes: in
 # hot_x_section.c:852-1235)
 # ---------------------------------------------------------------------------
 
-CACHE_VERSION = 2  # v2: float32-safe 1e-30 table floor (was 1e-300 -> -inf)
+# v2: float32-safe 1e-30 table floor (was 1e-300 -> -inf)
+# v3: build forced onto host CPU in true float64 — a v2 cache built in the
+#     TPU bench process (x64 off + emulated f64) carried underflowed interior
+#     entries that poisoned both interpolation and the Chebyshev surrogates
+CACHE_VERSION = 3
 
 
 def _cache_header(cfg: Config) -> dict:
@@ -208,6 +246,48 @@ def _cache_header(cfg: Config) -> dict:
     return h
 
 
+def _sub1_cheb_static(cfg: Config, log_e: np.ndarray, nt_col0: np.ndarray) -> tuple:
+    """Global two-interval Chebyshev surrogate of sigma_sub for subgroup 1.
+
+    The biased multi-population optical depth collapses algebraically to
+    tau0 * (1 + N_GAMMA) whenever the cell has thermal electrons (bias_i
+    tau_i == tau_norm by construction, reference: Src/optical_depth.c:60-112,
+    177-183); sigma_sub is needed only for the tau_norm fallback in
+    thermal-free cells, and only for the FIRST subgroup.  Since sigma_sub is
+    a function of eps' alone, one global fit serves every cell — returned as
+    a flat float tuple so the fused kernel bakes it in as constants.
+
+    Layout: (f1, inv_knee, span_inv, c_lo[CHEB_DLO+1], c_hi[CHEB_DHI+1]) with
+    the same linear-x / log-space split as thermal_cheb_cells, knee at
+    eps' * sqrt(g_lo g_hi) = 1.  Measured worst-case sigma error 0.11-0.14%.
+    """
+    import math
+
+    from .cyclosynch import electron_dist_subgroup_dens
+
+    lgmin, lgmax = math.log10(cfg.gamma_min), math.log10(cfg.gamma_max)
+    dg = (lgmax - lgmin) / cfg.n_gamma
+    g_lo, g_hi = 10.0 ** lgmin, 10.0 ** (lgmin + dg)
+    inv_knee = math.sqrt(g_lo * g_hi)
+    s = -math.log10(inv_knee)
+    x = 10.0 ** log_e * inv_knee
+    lo = x < 1.0
+    t_lo = 2.0 * np.clip(x, 0.0, 1.0) - 1.0
+    t_hi = np.clip(2.0 * (log_e - s) / (log_e[-1] - s) - 1.0, -1.0, 1.0)
+    c_lo, *_ = np.linalg.lstsq(
+        np.polynomial.chebyshev.chebvander(t_lo[lo], CHEB_DLO), nt_col0[lo],
+        rcond=None,
+    )
+    c_hi, *_ = np.linalg.lstsq(
+        np.polynomial.chebyshev.chebvander(t_hi[~lo], CHEB_DHI), nt_col0[~lo],
+        rcond=None,
+    )
+    f1 = float(electron_dist_subgroup_dens(cfg)[0])
+    span_inv = 1.0 / (log_e[-1] - s)
+    return (f1, float(inv_knee), float(span_inv),
+            *(float(v) for v in c_lo), *(float(v) for v in c_hi))
+
+
 def load_or_build(cfg: Config, cache_path: Optional[str] = None, dtype=None) -> HotCrossSectionTable:
     """Load the cached table if its header matches, else build and cache.
 
@@ -221,7 +301,7 @@ def load_or_build(cfg: Config, cache_path: Optional[str] = None, dtype=None) -> 
         try:
             loaded = np.load(cache_path, allow_pickle=True)
             stored = loaded["header"].item()
-            if stored == header:
+            if stored == header and np.asarray(loaded["thermal"]).min() > _TABLE_SANITY_FLOOR:
                 data = loaded
         except Exception:
             data = None
@@ -241,10 +321,16 @@ def load_or_build(cfg: Config, cache_path: Optional[str] = None, dtype=None) -> 
     dt = np.dtype(dtype or cfg.dtype)
     nt = data["nonthermal"] if "nonthermal" in getattr(data, "files", data) else None
     frac = None
+    sub1 = None
     if cfg.nonthermal_e_dist is not NonthermalDist.OFF:
         from .cyclosynch import electron_dist_subgroup_dens
 
         frac = electron_dist_subgroup_dens(cfg)
+        if nt is not None:
+            sub1 = _sub1_cheb_static(
+                cfg, np.asarray(data["log_e"], dtype=np.float64),
+                np.asarray(nt, dtype=np.float64)[:, 0],
+            )
     return HotCrossSectionTable(
         log_e=jnp.asarray(np.asarray(data["log_e"]), dtype=dt),
         log_t=jnp.asarray(np.asarray(data["log_t"]), dtype=dt),
@@ -254,6 +340,7 @@ def load_or_build(cfg: Config, cache_path: Optional[str] = None, dtype=None) -> 
         thermal_quad=jnp.asarray(
             _corner_quad(np.asarray(data["thermal"])), dtype=dt
         ),
+        sub1_cheb=sub1,
     )
 
 
@@ -412,40 +499,49 @@ def interp_nonthermal(table: HotCrossSectionTable, e_comv):
 # Per-cell Chebyshev surrogate (in-kernel TABLE mode)
 # ---------------------------------------------------------------------------
 
-# Two-interval Chebyshev fit of log10 sigma_hat vs log10 eps', split at the
-# per-cell KN knee s = -log10(1 + 12 theta): degree 11 per interval measures a
-# worst-case 0.24% relative sigma error over the whole (eps', theta) table —
-# the same order as the MC noise in the reference's own 5e5-sample table
-# entries (hot_x_section.c:82-305).  This lets the fused Pallas kernel
-# evaluate the hot cross section per ROUND from the photon's current comoving
-# energy (Clenshaw recurrence on 12 gathered per-cell rows), so TABLE-mode
-# lanes no longer stall after every scatter.
-CHEB_DEG = 11
+# Two-interval Chebyshev fit of log10 sigma_hat(eps') split at the per-cell
+# KN knee s = -log10(1 + 12 theta), with the LOW interval parameterized in
+# LINEAR x = eps' * (1 + 12 theta) in [0, 1] — where sigma_hat is an analytic
+# perturbation of sigma_KN(x), so degree 5 suffices — and the HIGH interval in
+# log10 eps' over [s, LOG_PH_E_MAX] at degree 8.  Measured worst-case relative
+# sigma error over the whole (eps', theta) table: 0.235% (p99 0.22%), the same
+# order as the MC noise in the reference's own 5e5-sample table entries
+# (hot_x_section.c:82-305), at 16 gathered rows instead of the previous
+# symmetric-log layout's 25.  This lets the fused Pallas kernel evaluate the
+# hot cross section per ROUND from the photon's current comoving energy
+# (branch-select Clenshaw recurrence), so TABLE-mode lanes never stall after
+# a scatter.
+CHEB_DLO = 5  # low-interval degree (linear x-space)
+CHEB_DHI = 8  # high-interval degree (log space)
 CHEB_M = 32  # bilinear resampling nodes per interval
-CHEB_ROWS = 2 * (CHEB_DEG + 1) + 1  # knee row + two coefficient sets
+CHEB_ROWS = 1 + (CHEB_DLO + 1) + (CHEB_DHI + 1)  # inv-knee row + two coef sets
 
 
-def _cheb_pinv() -> np.ndarray:
+def _cheb_pinv(deg: int):
     x = np.cos(np.pi * (np.arange(CHEB_M) + 0.5) / CHEB_M)
-    a = np.polynomial.chebyshev.chebvander(x, CHEB_DEG)
+    a = np.polynomial.chebyshev.chebvander(x, deg)
     return np.linalg.pinv(a), x
 
 
 def thermal_cheb_cells(table: HotCrossSectionTable, temp_cells) -> jax.Array:
     """(CHEB_ROWS, n_cells) per-cell sigma_hat surrogate rows.
 
-    Row 0 is the interval split s_c (the KN knee); rows 1..12 are Chebyshev
-    coefficients of log10 sigma_hat over [LOG_PH_E_MIN, s_c], rows 13..24 over
-    [s_c, LOG_PH_E_MAX].  Cells below the theta floor are fitted to the exact
-    KN curve, mirroring interp_thermal's cold branch (reference:
-    hot_x_section.c:336-340).  Built once per (frame, table) — two bilinear
-    resamplings at CHEB_M nodes and two (12, 32) @ (32, n_cells) matmuls.
+    Row 0 is inv_knee = 10^-s = 1 + 12 theta (clipped to the table span);
+    rows 1..1+CHEB_DLO are Chebyshev coefficients of log10 sigma_hat in
+    t = 2 x - 1 with x = eps' * inv_knee over x in [0, 1]; the remaining rows
+    cover t = 2 log10(x)/(LOG_PH_E_MAX - s) - 1 above the knee.  Cells below
+    the theta floor are fitted to the exact KN curve, mirroring
+    interp_thermal's cold branch (reference: hot_x_section.c:336-340).  Built
+    once per (frame, table) — two bilinear resamplings at CHEB_M nodes and two
+    (deg+1, 32) @ (32, n_cells) matmuls.
     """
     from ..constants import KB_OVER_MEC2
 
     dt = table.thermal.dtype
-    pinv_np, x_np = _cheb_pinv()
-    pinv = jnp.asarray(pinv_np, dtype=dt)
+    pinv_lo_np, x_np = _cheb_pinv(CHEB_DLO)
+    pinv_hi_np, _ = _cheb_pinv(CHEB_DHI)
+    pinv_lo = jnp.asarray(pinv_lo_np, dtype=dt)
+    pinv_hi = jnp.asarray(pinv_hi_np, dtype=dt)
     xs = jnp.asarray(x_np, dtype=dt)
 
     theta = KB_OVER_MEC2 * jnp.asarray(temp_cells, dtype=dt)
@@ -455,19 +551,24 @@ def thermal_cheb_cells(table: HotCrossSectionTable, temp_cells) -> jax.Array:
     hi_e = table.log_e[-1]
     s = jnp.clip(-jnp.log10(1.0 + 12.0 * theta), lo_e + 1.0, hi_e - 1.0)
 
-    def fit(a, b):
-        nodes = 0.5 * (b - a)[None, :] * xs[:, None] + 0.5 * (a + b)[None, :]
+    def sample(le_nodes):
         vals = _bilinear(
             table.thermal, table.log_e, table.log_t,
-            nodes, jnp.broadcast_to(log_th[None, :], nodes.shape),
+            le_nodes, jnp.broadcast_to(log_th[None, :], le_nodes.shape),
             quad=table.thermal_quad,
         )
-        kn = jnp.log10(jnp.maximum(kn_cross_section(10.0 ** nodes), 1e-30))
-        vals = jnp.where(cold[None, :], kn, vals)
-        return pinv @ vals  # (CHEB_DEG + 1, n_cells)
+        kn = jnp.log10(jnp.maximum(kn_cross_section(10.0 ** le_nodes), 1e-30))
+        return jnp.where(cold[None, :], kn, vals)
 
-    lo_vec = jnp.full_like(s, lo_e)
-    hi_vec = jnp.full_like(s, hi_e)
-    c_lo = fit(lo_vec, s)
-    c_hi = fit(s, hi_vec)
-    return jnp.concatenate([s[None, :], c_lo, c_hi], axis=0)
+    # low interval: nodes at x = (cos+1)/2 in (0, 1), evaluated at
+    # log10 eps' = s + log10 x (clamped to the table floor)
+    x_lo = 0.5 * (xs + 1.0)
+    le_lo = jnp.maximum(
+        s[None, :] + jnp.log10(jnp.maximum(x_lo, 1e-30))[:, None], lo_e
+    )
+    c_lo = pinv_lo @ sample(le_lo)
+    # high interval: log space [s, hi_e]
+    le_hi = 0.5 * (hi_e - s)[None, :] * xs[:, None] + 0.5 * (hi_e + s)[None, :]
+    c_hi = pinv_hi @ sample(le_hi)
+    inv_knee = 10.0 ** (-s)
+    return jnp.concatenate([inv_knee[None, :], c_lo, c_hi], axis=0)

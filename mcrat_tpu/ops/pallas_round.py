@@ -560,7 +560,7 @@ def _single_scatter(rng, shape, g0, e1x, e1y, e1z, c0, c1, c2, c3, q, u, v,
 def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
                  el_iters: int, kn_iters: int, s_rows: int, interpret: bool,
                  use_aux: bool, nonthermal: bool, slim: bool = False,
-                 cheb_base: int = 0):
+                 cheb_base: int = 0, nt_sub1: tuple = None):
     """Build the fused-round kernel body for a static config.
 
     ``slim`` selects the 8-row grid.PCOL_SLIM property layout (2-D
@@ -569,11 +569,13 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
     as packed rows, halving the per-invocation row gather and block IO.
 
     ``cheb_base`` > 0 enables in-kernel TABLE-mode hot cross sections: rows
-    [cheb_base .. cheb_base + 24] carry the per-cell two-interval Chebyshev
-    surrogate of log10 sigma_hat(eps') (ops.hot_xsec.thermal_cheb_cells) and
-    the tau rate is rebuilt every round from the CURRENT comoving energy by a
-    Clenshaw recurrence — no stall after scatters, unlike the legacy aux
-    protocol (which remains for nonthermal populations).
+    [cheb_base .. cheb_base + CHEB_ROWS - 1] carry the per-cell two-interval
+    Chebyshev surrogate of log10 sigma_hat(eps') (ops.hot_xsec.
+    thermal_cheb_cells: inv-knee row, linear-x low coefficients, log-space
+    high coefficients) and the tau rate is rebuilt every round from the
+    CURRENT comoving energy by a branch-select Clenshaw recurrence — no stall
+    after scatters, unlike the legacy aux protocol (which remains for the
+    carried/AMR path).
     """
     two_d = cfg.dims is not Dims.THREE
     geom = cfg.geometry
@@ -581,6 +583,11 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
     shape = (s_rows, LANES)
     nt_sample = _make_nonthermal_gamma(cfg) if nonthermal else None
     n_gamma = float(cfg.n_gamma)
+    # fully-in-kernel nonthermal: the biased tau total and the thermal
+    # selection probability are rebuilt per round from the per-cell thermal
+    # surrogate rows + the GLOBAL subgroup-1 sigma_sub constants, so no aux
+    # planes and no stall-on-scatter (ops.hot_xsec._sub1_cheb_static)
+    nt_inkernel = nonthermal and cheb_base > 0 and nt_sub1 is not None
     if slim:
         assert two_d and geom in (Geometry.CARTESIAN, Geometry.CYLINDRICAL)
         assert not nonthermal, "nonthermal needs the full packed layout"
@@ -782,38 +789,60 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
             p_th = None
 
         if cheb_base:
-            from .hot_xsec import CHEB_DEG, LOG_PH_E_MAX, LOG_PH_E_MIN
+            from .hot_xsec import CHEB_DHI, CHEB_DLO, LOG_PH_E_MAX
 
-            s_knee = row[cheb_base]
+            inv_ln10 = 0.4342944819032518
+            ln10 = 2.302585092994046
+            inv_knee = row[cheb_base]  # 10^-s = 1 + 12 theta (clipped)
+            # loop-invariant across the invocation's rounds: s = -log10 invk,
+            # span = LOG_PH_E_MAX - s >= 1 by the knee clip
+            lg_invk = jnp.log(jnp.maximum(inv_knee, _TINY)) * inv_ln10
+            span_inv = 1.0 / (LOG_PH_E_MAX + lg_invk)
+            zero = jnp.zeros_like(inv_knee)
+
+            def _cheb_eval(x_lin, invk, spn, coef_lo, coef_hi):
+                """Branch-select Clenshaw shared by the per-cell thermal rows
+                and the global subgroup-1 constants: LINEAR x below the KN
+                knee (x < 1), log space above it."""
+                lo = x_lin < 1.0
+                lgx = jnp.log(jnp.maximum(x_lin, _TINY)) * inv_ln10
+                t = jnp.where(
+                    lo,
+                    2.0 * x_lin - 1.0,
+                    jnp.clip(2.0 * lgx * spn - 1.0, -1.0, 1.0),
+                )
+                bk1 = jnp.zeros_like(t)
+                bk2 = jnp.zeros_like(t)
+                for k in range(CHEB_DHI, 0, -1):
+                    ck = jnp.where(lo, coef_lo[k] if k <= CHEB_DLO else zero,
+                                   coef_hi[k])
+                    bk0 = ck + 2.0 * t * bk1 - bk2
+                    bk2 = bk1
+                    bk1 = bk0
+                f = jnp.where(lo, coef_lo[0], coef_hi[0]) + t * bk1 - bk2
+                return jnp.exp(f * ln10)
 
             def cheb_sigma(e_comv):
                 """sigma_hat/sigma_T from the per-cell Chebyshev rows
-                (Clenshaw recurrence, interval picked by the KN-knee split)."""
-                inv_ln10 = 0.4342944819032518
-                ln10 = 2.302585092994046
-                lge = jnp.log(jnp.maximum(e_comv, _TINY)) * inv_ln10
-                lo = lge < s_knee
-                a = jnp.where(lo, LOG_PH_E_MIN, s_knee)
-                b = jnp.where(lo, s_knee, LOG_PH_E_MAX)
-                x = jnp.clip(
-                    2.0 * (lge - a) / jnp.maximum(b - a, 1e-6) - 1.0, -1.0, 1.0
+                (ops.hot_xsec.thermal_cheb_cells)."""
+                return _cheb_eval(
+                    e_comv * inv_knee, inv_knee, span_inv,
+                    [row[cheb_base + 1 + k] for k in range(CHEB_DLO + 1)],
+                    [row[cheb_base + 2 + CHEB_DLO + k] for k in range(CHEB_DHI + 1)],
                 )
-                bk1 = jnp.zeros_like(x)
-                bk2 = jnp.zeros_like(x)
-                for k in range(CHEB_DEG, 0, -1):
-                    ck = jnp.where(
-                        lo,
-                        row[cheb_base + 1 + k],
-                        row[cheb_base + 2 + CHEB_DEG + k],
-                    )
-                    bk0 = ck + 2.0 * x * bk1 - bk2
-                    bk2 = bk1
-                    bk1 = bk0
-                c0k = jnp.where(
-                    lo, row[cheb_base + 1], row[cheb_base + 2 + CHEB_DEG]
-                )
-                f = c0k + x * bk1 - bk2
-                return jnp.exp(f * ln10)
+
+            if nt_inkernel:
+                f1 = nt_sub1[0]
+                invk1 = nt_sub1[1]
+                span1 = nt_sub1[2]
+                c1_lo = [s + zero for s in nt_sub1[3:3 + CHEB_DLO + 1]]
+                c1_hi = [s + zero for s in nt_sub1[4 + CHEB_DLO:]]
+
+                def sub1_sigma(e_comv):
+                    """Global sigma_sub(eps') for subgroup 1 — the tau_norm
+                    fallback for thermal-free cells
+                    (ops.hot_xsec._sub1_cheb_static)."""
+                    return _cheb_eval(e_comv * invk1, invk1, span1, c1_lo, c1_hi)
 
         def round_body(_, carry):
             (p0, p1, p2, p3, px, py, pz, q, u, v, t_rem, ns,
@@ -836,12 +865,25 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
             c1 = jnp.where(upd, b1, c1)
             c2 = jnp.where(upd, b2, c2)
             c3 = jnp.where(upd, b3, c3)
+            p_th_round = p_th
             if cheb_base:
                 # TABLE mode: sigma_hat at the CURRENT comoving energy, every
                 # round (the XLA engine recomputes it per round the same way)
-                rate = (n_e * THOM_X_SECT) * cheb_sigma(c0) * (
-                    1.0 - beta_mag * cos_ang
-                )
+                nsig_th = (n_e * THOM_X_SECT) * cheb_sigma(c0)
+                if nt_inkernel:
+                    # biased multi-population total: tau0 + N_GAMMA tau_norm,
+                    # tau_norm = tau0 for thermal cells else subgroup-1 tau
+                    # (transport._tau_rate; Src/optical_depth.c:60-112)
+                    nsig_nt1 = (
+                        row[PCOL["nonthermal_dens"]] * row[PCOL["gamma"]]
+                        * (THOM_X_SECT * f1)
+                    ) * sub1_sigma(c0)
+                    taunorm = jnp.where(n_e > 0, nsig_th, nsig_nt1)
+                    total = nsig_th + n_gamma * taunorm
+                    rate = total * (1.0 - beta_mag * cos_ang)
+                    p_th_round = nsig_th / jnp.maximum(total, _TINY)
+                else:
+                    rate = nsig_th * (1.0 - beta_mag * cos_ang)
 
             # 3. free path -> candidate step
             u1 = rng.uniform_pos()
@@ -876,10 +918,12 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
                 # Src/electron.c:7-68): thermal w.p. p_th, then the subgroups
                 # in equal tau_norm-weighted slices of the remainder
                 u_pop = rng.uniform()
-                is_th = u_pop <= p_th
-                slice_w = jnp.maximum((1.0 - p_th) * (1.0 / n_gamma), _TINY)
+                is_th = u_pop <= p_th_round
+                slice_w = jnp.maximum(
+                    (1.0 - p_th_round) * (1.0 / n_gamma), _TINY
+                )
                 sub_f = jnp.clip(
-                    jnp.floor((u_pop - p_th) / slice_w), 0.0, n_gamma - 1.0
+                    jnp.floor((u_pop - p_th_round) / slice_w), 0.0, n_gamma - 1.0
                 )
                 g_nt = nt_sample(rng, sub_f)
                 gb_nt = jnp.sqrt(jnp.maximum(g_nt * g_nt - 1.0, 0.0))
@@ -962,7 +1006,7 @@ class FusedRoundsResult(NamedTuple):
     jax.jit,
     static_argnames=(
         "cfg", "stokes_on", "inner_rounds", "el_iters", "kn_iters",
-        "s_rows", "interpret", "nonthermal", "slim", "cheb_base",
+        "s_rows", "interpret", "nonthermal", "slim", "cheb_base", "nt_sub1",
     ),
 )
 def fused_rounds(
@@ -983,6 +1027,7 @@ def fused_rounds(
     nonthermal: bool = False,
     slim: bool = False,
     cheb_base: int = 0,
+    nt_sub1: tuple = None,
 ) -> FusedRoundsResult:
     """Run ``inner_rounds`` fused transport rounds over blocked photon planes."""
     n_state, r_total, lanes = state.shape
@@ -992,7 +1037,7 @@ def fused_rounds(
     grid = (r_total // s_rows,)
     kernel = _make_kernel(cfg, stokes_on, inner_rounds, el_iters, kn_iters,
                           s_rows, interpret, use_aux, nonthermal, slim=slim,
-                          cheb_base=cheb_base)
+                          cheb_base=cheb_base, nt_sub1=nt_sub1)
     nrow = rows.shape[0]
     seed = jnp.asarray(seed, jnp.int32).reshape(-1)[:1]
     if block_act is None:

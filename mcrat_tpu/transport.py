@@ -684,15 +684,22 @@ def transport_rounds_fused(
     slim = (
         not carried and frame.packed_slim is not None and not nonthermal
     )
-    # Thermal TABLE mode on the direct path runs fully in-kernel: per-cell
-    # Chebyshev sigma_hat rows ride the same gather as the fluid properties
-    # and the tau rate is rebuilt per round, so no stall-after-scatter and no
-    # per-invocation aux interpolation.  Nonthermal (needs the biased
-    # multi-population selection) and the carried/AMR path keep the aux-plane
-    # stall protocol.
-    cheb = use_aux and not nonthermal and not carried
+    # TABLE mode on the direct path runs fully in-kernel: per-cell Chebyshev
+    # sigma_hat rows ride the same gather as the fluid properties and the tau
+    # rate is rebuilt per round, so no stall-after-scatter and no
+    # per-invocation aux interpolation.  Nonthermal populations are covered
+    # too — the biased tau total collapses to tau0 (1 + N_GAMMA) for thermal
+    # cells, and the thermal-free fallback rides the GLOBAL subgroup-1
+    # surrogate baked in as constants (hot_xsec._sub1_cheb_static) — so only
+    # the carried/AMR path keeps the aux-plane stall protocol.
+    nt_sub1 = getattr(xsec_table, "sub1_cheb", None) if use_aux else None
+    cheb = (
+        use_aux and not carried and (not nonthermal or nt_sub1 is not None)
+    )
     if cheb:
         use_aux = False
+    if not (cheb and nonthermal):
+        nt_sub1 = None
     if carried:
         rows0 = gather_rows(frame, cell0)  # (n_prow, n_pad)
         n_prow = rows0.shape[0]
@@ -777,7 +784,7 @@ def transport_rounds_fused(
             aux=aux, block_act=block_act,
             stokes_on=stokes_on, inner_rounds=inner_rounds,
             s_rows=s_rows, interpret=interpret, nonthermal=nonthermal,
-            slim=slim, cheb_base=cheb_base,
+            slim=slim, cheb_base=cheb_base, nt_sub1=nt_sub1,
         )
 
     def make_perm(act_row, n_act):
@@ -1242,6 +1249,26 @@ def _pow2(n: int, floor: int = 1024) -> int:
     import math as _math
 
     return max(floor, 1 << int(np.ceil(np.log2(max(n, 1)))))
+
+
+@functools.partial(jax.jit, static_argnames=("new_cap",))
+def grow_photons(photons: Photons, new_cap: int, t_rem=None):
+    """Copy the population into a larger zeroed buffer, as ONE executable.
+
+    The host-side tree_map-of-set pattern this replaces cost one dispatch per
+    leaf (8 tunnel round-trips) and, on a multi-process mesh, broke outright
+    (locally-created empty buffers cannot mix with global arrays); inside jit
+    the new buffers inherit the input sharding via GSPMD.  ``t_rem`` grows
+    alongside when given (pads get zero time).
+    """
+    grown = empty_photons(new_cap, photons.p.dtype)
+    grown = jax.tree_util.tree_map(
+        lambda g, p: g.at[: p.shape[0]].set(p), grown, photons
+    )
+    if t_rem is None:
+        return grown
+    t_new = jnp.zeros((new_cap,), t_rem.dtype).at[: t_rem.shape[0]].set(t_rem)
+    return grown, t_new
 
 
 @jax.jit
