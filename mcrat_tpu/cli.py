@@ -219,14 +219,16 @@ def main(argv=None):
     if args.mesh:
         from .parallel.mesh import init_distributed, make_mesh
 
-        proc_idx = init_distributed(
+        init_distributed(
             coordinator=args.coordinator, num_processes=args.num_hosts,
             process_id=args.host_id,
         )
         # ONE logical rank's photon axis spans the whole mesh (all hosts'
-        # devices); only host 0 writes checkpoint/photon files — the mesh
-        # replaces the reference's intra-rank OpenMP axis at pod scale.
-        write_outputs = proc_idx == 0
+        # devices) — the mesh replaces the reference's intra-rank OpenMP axis
+        # at pod scale.  write_outputs stays True on EVERY process: the
+        # persistence fetch is a cross-process COLLECTIVE
+        # (parallel.mesh.fetch_global), so all processes must reach it; the
+        # driver gates the actual file writes on jax.process_index() == 0.
         mesh = make_mesh(None if args.mesh < 0 else args.mesh)
     kw = dict(
         last_frame_override=args.last_frame, chunk_rounds=args.chunk_rounds,

@@ -34,6 +34,7 @@ from .io.checkpoint import CheckpointState, load_checkpoint, save_checkpoint, sc
 from .io.hydro import HydroPaths, build_index, get_hydro_data
 from .io.photons_h5 import append_photons, merge_all
 from .ops import cyclosynch
+from .parallel.mesh import fetch_global
 from . import transport
 
 log = logging.getLogger("mcrat_tpu")
@@ -180,7 +181,7 @@ def clean_initialize_dir(
 
 
 def _append_arrays(photons, meta, new_arrays, dtype, n_alive=None,
-                   t_rem=None, new_t=None):
+                   t_rem=None, new_t=None, mesh=None):
     """Append host photon arrays into the fixed-capacity population,
     growing it if necessary (replaces null-slot recycling, Src/photons.c).
 
@@ -189,7 +190,9 @@ def _append_arrays(photons, meta, new_arrays, dtype, n_alive=None,
     full-population transfer per append — 2-3 per cyclo-synchrotron frame.
     ``n_alive`` (from the driver's frame_stats tracking) sizes the growth
     decision; None falls back to one device count fetch.  ``t_rem``/``new_t``
-    thread the per-photon frame-time array through mid-frame appends.
+    thread the per-photon frame-time array through mid-frame appends.  On a
+    multi-process ``mesh`` the new photons are placed replicated (every
+    process computes the identical host-side emission).
 
     Returns (photons, meta, n_new, t_rem).
     """
@@ -203,23 +206,31 @@ def _append_arrays(photons, meta, new_arrays, dtype, n_alive=None,
     if photons.capacity - n_alive < n_new:
         # grow capacity (pow-2 steps bound the number of compiles)
         extra = int(2 ** math.ceil(math.log2(photons.capacity + n_new)))
-        grown = transport.empty_photons(extra, photons.p.dtype)
-        photons = jax.tree_util.tree_map(
-            lambda g, p: g.at[: p.shape[0]].set(p), grown, photons
-        )
-        if t_rem is not None:
-            t_rem = jnp.zeros((extra,), t_rem.dtype).at[: t_rem.shape[0]].set(t_rem)
+        if t_rem is None:
+            photons = transport.grow_photons(photons, extra)
+        else:
+            photons, t_rem = transport.grow_photons(photons, extra, t_rem=t_rem)
     npad = transport._pow2(n_new)
     new_ph, _ = transport.photons_from_arrays(
         new_arrays, capacity=npad, dtype=dtype, weight_norm=meta.weight_norm
     )
+    if mesh is not None and jax.process_count() > 1:
+        from .parallel.mesh import put_replicated
+
+        new_ph = put_replicated(jax.device_get(new_ph), mesh)
     if t_rem is None:
         photons = transport.append_photons_device(photons, new_ph)
         return photons, meta, n_new, None
-    nt = np.zeros(npad, dtype=np.asarray(new_t).dtype)
+    nt = np.zeros(npad, dtype=np.dtype(t_rem.dtype))
     nt[:n_new] = new_t
+    if mesh is not None and jax.process_count() > 1:
+        from .parallel.mesh import put_replicated
+
+        new_t_dev = put_replicated(nt, mesh)
+    else:
+        new_t_dev = jnp.asarray(nt)
     photons, t_rem = transport.append_photons_device(
-        photons, new_ph, t_rem=t_rem, new_t=jnp.asarray(nt, t_rem.dtype)
+        photons, new_ph, t_rem=t_rem, new_t=new_t_dev
     )
     return photons, meta, n_new, t_rem
 
@@ -246,18 +257,32 @@ class _PersistWriter:
 
     def submit_frame(self, cfg, mc_dir, rank, st, sub_ph, meta, scatt_frame):
         self.wait()  # at most one frame in flight; surfaces prior errors
-        for leaf in jax.tree_util.tree_leaves(sub_ph):
-            try:
-                leaf.copy_to_host_async()
-            except Exception:
-                pass  # non-jax leaves / backends without async copy
+        multiproc = jax.process_count() > 1
+        if multiproc:
+            # the cross-process gather is a COLLECTIVE: it must run on the
+            # main thread in deterministic order relative to the next frame's
+            # collectives, or two processes can interleave collectives
+            # differently and deadlock.  Only the (process-0-only) disk
+            # writes go to the background worker.
+            from .parallel.mesh import fetch_global
+
+            host_ph = fetch_global(sub_ph)
+            if jax.process_index() != 0:
+                return
+        else:
+            host_ph = None
+            for leaf in jax.tree_util.tree_leaves(sub_ph):
+                try:
+                    leaf.copy_to_host_async()
+                except Exception:
+                    pass  # non-jax leaves / backends without async copy
 
         def job():
-            host_ph = jax.device_get(sub_ph)
-            save_checkpoint(mc_dir, rank, st, host_ph)
+            ph = host_ph if host_ph is not None else jax.device_get(sub_ph)
+            save_checkpoint(mc_dir, rank, st, ph)
             append_photons(
                 cfg, os.path.join(mc_dir, f"mc_proc_{rank}.h5"),
-                scatt_frame, host_ph, meta,
+                scatt_frame, ph, meta,
             )
 
         self._fut = self._ex.submit(job)
@@ -313,7 +338,10 @@ def run_rank(
         procs_per_angle = max(num_ranks // par.n_theta_bins, 1)
         cleaner = rank == work.angle_id * procs_per_angle
     os.makedirs(work.mc_dir, exist_ok=True)
-    if par.restart == "i" and write_outputs:
+    # on a multi-process mesh only process 0 touches files; the other
+    # processes still run the full loop (the persistence fetch is collective)
+    files_here = write_outputs and jax.process_index() == 0
+    if par.restart == "i" and files_here:
         n_rm = clean_initialize_dir(
             work.mc_dir, rank, cleaner=cleaner, wait_s=init_clean_wait_s
         )
@@ -323,7 +351,7 @@ def run_rank(
     # Src/mcrat.c:567-575; Doc/mcrat_doc.tex:259-263 documents grepping it for
     # progress) — a crashed rank leaves an on-disk trace of what it was doing
     log_handler = None
-    if write_outputs:
+    if files_here:
         log_handler = logging.FileHandler(
             os.path.join(work.mc_dir, f"mc_output_{rank}.log")
         )
@@ -447,7 +475,7 @@ def _run_rank_inner(
             # axon tunnel).
             if pending_stats is None:
                 pending_stats = np.asarray(
-                    jax.device_get(transport.frame_stats(photons))
+                    fetch_global(transport.frame_stats(photons))
                 )
                 n_pool_host = int(pending_stats[8])
             n_alive = int(pending_stats[9])
@@ -458,6 +486,15 @@ def _run_rank_inner(
             host, edges = load_frame(scatt_frame, False, (r_min, r_max, t_min, t_max))
             frame_dev = host.to_device(dtype=dtype)
             index = build_index(cfg, host, edges)
+            if mesh is not None:
+                # replicate ONCE per frame so frame-boundary device work
+                # (absorption) shares the mesh placement with transport — on
+                # a multi-process mesh, mixing local and global arrays in one
+                # jit is an error
+                from .parallel.mesh import replicate
+
+                frame_dev = replicate(frame_dev, mesh)
+                index = replicate(index, mesh)
 
             n_emit = 0
             cs_active = cfg.cyclosynchrotron and scatt_frame != scatt_start
@@ -468,7 +505,7 @@ def _run_rank_inner(
                     work.theta_min, work.theta_max, rng,
                 )
                 photons, meta, n_emit, _ = _append_arrays(
-                    photons, meta, cs_arrays, dtype, n_alive=n_alive
+                    photons, meta, cs_arrays, dtype, n_alive=n_alive, mesh=mesh
                 )
                 n_alive += n_emit
                 n_pool_before = n_pool_host + n_emit
@@ -482,11 +519,8 @@ def _run_rank_inner(
 
                     nsh = mesh.devices.size
                     if ph.capacity % nsh:
-                        grown = transport.empty_photons(
-                            pad_capacity(ph.capacity, nsh), ph.p.dtype
-                        )
-                        ph = jax.tree_util.tree_map(
-                            lambda g, p: g.at[: p.shape[0]].set(p), grown, ph
+                        ph = transport.grow_photons(
+                            ph, pad_capacity(ph.capacity, nsh)
                         )
                     return sharded_transport_frame(
                         cfg, mesh, shard_photons(ph, mesh),
@@ -529,7 +563,7 @@ def _run_rank_inner(
                     merged["weight"] = merged["weight"] * meta.weight_norm
                     photons, meta, n_mrg, t0 = _append_arrays(
                         photons, meta, merged, dtype, n_alive=n_alive,
-                        t_rem=t0, new_t=merged_t,
+                        t_rem=t0, new_t=merged_t, mesh=mesh,
                     )
                     n_alive += n_mrg
                 log.info(
@@ -547,7 +581,7 @@ def _run_rank_inner(
                 # ONE combined stats fetch feeds the pool deficit, the free-
                 # slot count, and the rebin trigger.
                 stats_mid = np.asarray(
-                    jax.device_get(transport.frame_stats(photons))
+                    fetch_global(transport.frame_stats(photons))
                 )
                 n_pool_after = int(stats_mid[8])
                 n_alive = int(stats_mid[9])
@@ -560,7 +594,7 @@ def _run_rank_inner(
                         work.theta_min, work.theta_max, rng,
                     )
                     photons, meta, n_rep, _ = _append_arrays(
-                        photons, meta, repl, dtype, n_alive=n_alive
+                        photons, meta, repl, dtype, n_alive=n_alive, mesh=mesh
                     )
                     n_alive += n_rep
                 photons, merged, _ = cyclosynch.rebin_population(
@@ -571,7 +605,7 @@ def _run_rank_inner(
                     merged = dict(merged)
                     merged["weight"] = merged["weight"] * meta.weight_norm
                     photons, meta, n_mrg, _ = _append_arrays(
-                        photons, meta, merged, dtype, n_alive=n_alive
+                        photons, meta, merged, dtype, n_alive=n_alive, mesh=mesh
                     )
                     n_alive += n_mrg
                 photons, n_abs, _w_abs = cyclosynch.apply_absorption(
@@ -582,7 +616,7 @@ def _run_rank_inner(
             # NEXT frame's decimation bounds, the surviving pool count, and
             # the live count that sizes the persistence subset
             pending_stats = np.asarray(
-                jax.device_get(transport.frame_stats(photons))
+                fetch_global(transport.frame_stats(photons))
             )
             mx, mn, mean, r_avg = (float(x) for x in pending_stats[0:4])
             n_pool_host = int(pending_stats[8])
@@ -617,7 +651,7 @@ def _run_rank_inner(
 
         # injection-complete marker (reference: mcrat_io.c:966-1001)
         state = None
-        if write_outputs:
+        if write_outputs and jax.process_index() == 0:
             persist.wait()
             save_checkpoint(
                 work.mc_dir, rank,

@@ -632,12 +632,16 @@ def rebin_population(
     from .. import transport as tr
 
     if n_cs is None:
-        n_cs = int(jax.device_get(tr._count_cs(photons)))
+        from ..parallel.mesh import fetch_global
+
+        n_cs = int(np.asarray(fetch_global(tr._count_cs(photons))).reshape(-1)[0])
     if n_cs <= max_photons:
         return photons, None, None
     npad = tr._pow2(n_cs)
     nulled, sub, sub_t = tr.extract_cs_subset(photons, npad, t_rem=t_rem)
-    host = jax.device_get(
+    from ..parallel.mesh import fetch_global
+
+    host = fetch_global(
         [sub.p, sub.comv_p, sub.pos, sub.s, sub.weight, sub.num_scatt, sub_t]
     )
     p, comv_p, pos, s, w, ns, t_sub = (

@@ -16,7 +16,12 @@ import jax.numpy as jnp
 
 from .fourvec import normalize
 
-Z_HAT = jnp.array([0.0, 0.0, 1.0])
+# host-side constant: a module-level jnp.array would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize() (it must
+# run before ANY backend init in a multi-process job)
+import numpy as _np
+
+Z_HAT = _np.array([0.0, 0.0, 1.0])
 
 
 def find_xy(v_ph, ref):
@@ -133,7 +138,7 @@ def stokes_rotation(boost, v_ph, v_ph_boosted, s):
     boost-vector basis in the original frame, then boost-vector basis -> z-hat
     basis in the boosted frame.
     """
-    z = jnp.broadcast_to(Z_HAT.astype(s.dtype), v_ph.shape)
+    z = jnp.broadcast_to(jnp.asarray(Z_HAT, s.dtype), v_ph.shape)
     s = rotate_basis_vectors(v_ph, z, v_ph, boost, s)
     s = rotate_basis_vectors(v_ph_boosted, boost, v_ph_boosted, z, s)
     return s
