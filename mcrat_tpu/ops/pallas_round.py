@@ -560,7 +560,8 @@ def _single_scatter(rng, shape, g0, e1x, e1y, e1z, c0, c1, c2, c3, q, u, v,
 def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
                  el_iters: int, kn_iters: int, s_rows: int, interpret: bool,
                  use_aux: bool, nonthermal: bool, slim: bool = False,
-                 cheb_base: int = 0, nt_sub1: tuple = None):
+                 cheb_base: int = 0, nt_sub1: tuple = None,
+                 ultra: bool = False):
     """Build the fused-round kernel body for a static config.
 
     ``slim`` selects the 8-row grid.PCOL_SLIM property layout (2-D
@@ -588,12 +589,20 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
     # surrogate rows + the GLOBAL subgroup-1 sigma_sub constants, so no aux
     # planes and no stall-on-scatter (ops.hot_xsec._sub1_cheb_static)
     nt_inkernel = nonthermal and cheb_base > 0 and nt_sub1 is not None
-    if slim:
-        assert two_d and geom in (Geometry.CARTESIAN, Geometry.CYLINDRICAL)
-        assert not nonthermal, "nonthermal needs the full packed layout"
+    if ultra:
+        # uniform-rectilinear 2-D cart/cyl: per-cell GEOMETRY is computed
+        # from the lane's (i, j) cell index (packed into the flags plane) and
+        # four SMEM grid scalars, so the per-invocation gather carries only
+        # the 4 physics rows — half of slim's 8, a quarter of packed's 16
+        assert slim, "ultra implies the slim physics reads"
+        COL = dict(v0=0, v1=1, ne_lab=2, temp=3)
+    elif slim:
         from ..grid import PCOL_SLIM as COL
     else:
         COL = PCOL
+    if slim:
+        assert two_d and geom in (Geometry.CARTESIAN, Geometry.CYLINDRICAL)
+        assert not nonthermal, "nonthermal needs the full packed layout"
 
     def fluid_beta(row, px, py):
         """grid.fluid_beta_from_rows, component form."""
@@ -616,7 +625,7 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
             return vr * c2 - v2 * s2, vr * s2 + v2 * c2, v0 * c1 - v1 * s1
         raise ValueError(f"unsupported geometry {geom}")
 
-    def in_cell_and_domain(px, py, pz, row, dom_ref):
+    def in_cell_and_domain(px, py, pz, row, dom_ref, cg=None):
         """Post-move membership: geometry.mcrat_to_hydro + checkInBlock + the
         strict domain test, arccos/atan2-free.
 
@@ -700,9 +709,14 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
         if geom in (Geometry.CARTESIAN, Geometry.CYLINDRICAL):
             h0 = jnp.sqrt(px * px + py * py)
             h1 = pz
+            if cg is not None:  # ultra: computed cell geometry
+                c0, c1, d0, d1 = cg
+            else:
+                c0, c1 = row[COL["r0"]], row[COL["r1"]]
+                d0, d1 = row[COL["dr0"]], row[COL["dr1"]]
             return (
-                (2.0 * jnp.abs(h0 - row[COL["r0"]]) - row[COL["dr0"]] <= 0)
-                & (2.0 * jnp.abs(h1 - row[COL["r1"]]) - row[COL["dr1"]] <= 0)
+                (2.0 * jnp.abs(h0 - c0) - d0 <= 0)
+                & (2.0 * jnp.abs(h1 - c1) - d1 <= 0)
                 & (h0 > dom_ref[0]) & (h0 < dom_ref[1])
                 & (h1 > dom_ref[2]) & (h1 < dom_ref[3])
             )
@@ -765,6 +779,20 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
         alive = (flags & FLAG_ALIVE) != 0
         is_pool = (flags & FLAG_POOL) != 0
         in_grid = (flags & FLAG_INGRID) != 0
+        if ultra:
+            # per-lane cell geometry from the (i, j) index bits packed above
+            # FLAG bits (transport packs j at bit 3, i at bit 17) and the
+            # uniform-grid scalars appended to the SMEM dom vector
+            jj = ((flags >> 3) & 0x3FFF).astype(jnp.float32)
+            ii = ((flags >> 17) & 0x3FFF).astype(jnp.float32)
+            cell_geom = (
+                dom_ref[6] + (ii + 0.5) * dom_ref[7],
+                dom_ref[8] + (jj + 0.5) * dom_ref[9],
+                dom_ref[7] + jnp.zeros_like(ii),
+                dom_ref[9] + jnp.zeros_like(ii),
+            )
+        else:
+            cell_geom = None
 
         temp = row[COL["temp"]]
         if slim:
@@ -959,7 +987,7 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
             # the domain (outer find_cell_rows re-resolves them).  In aux mode
             # a scatter ALSO stalls the lane: its comoving energy changed, so
             # the XLA-interpolated tau coefficient is stale until refreshed.
-            in_cell = in_cell_and_domain(px, py, pz, row, dom_ref)
+            in_cell = in_cell_and_domain(px, py, pz, row, dom_ref, cg=cell_geom)
             stall_now = act & in_grid & ~in_cell & (t_rem > 0)
             if use_aux:
                 stall_now = stall_now | (scattered & (t_rem > 0))
@@ -1007,6 +1035,7 @@ class FusedRoundsResult(NamedTuple):
     static_argnames=(
         "cfg", "stokes_on", "inner_rounds", "el_iters", "kn_iters",
         "s_rows", "interpret", "nonthermal", "slim", "cheb_base", "nt_sub1",
+        "ultra",
     ),
 )
 def fused_rounds(
@@ -1028,6 +1057,7 @@ def fused_rounds(
     slim: bool = False,
     cheb_base: int = 0,
     nt_sub1: tuple = None,
+    ultra: bool = False,
 ) -> FusedRoundsResult:
     """Run ``inner_rounds`` fused transport rounds over blocked photon planes."""
     n_state, r_total, lanes = state.shape
@@ -1037,7 +1067,7 @@ def fused_rounds(
     grid = (r_total // s_rows,)
     kernel = _make_kernel(cfg, stokes_on, inner_rounds, el_iters, kn_iters,
                           s_rows, interpret, use_aux, nonthermal, slim=slim,
-                          cheb_base=cheb_base, nt_sub1=nt_sub1)
+                          cheb_base=cheb_base, nt_sub1=nt_sub1, ultra=ultra)
     nrow = rows.shape[0]
     seed = jnp.asarray(seed, jnp.int32).reshape(-1)[:1]
     if block_act is None:

@@ -700,13 +700,33 @@ def transport_rounds_fused(
         use_aux = False
     if not (cheb and nonthermal):
         nt_sub1 = None
+    # ultra: uniform-rectilinear 2-D cart/cyl — the kernel reconstructs the
+    # cell geometry from the lane's (i, j) index bits + 4 SMEM grid scalars,
+    # so the dominant per-invocation gather carries only the 4 physics rows
+    # (v0, v1, ne_lab, temp); the element gather is the measured hard floor
+    # of the XLA glue, and its cost is proportional to the row count
+    ultra = (
+        slim
+        and isinstance(index, RectilinearIndex)
+        and index.uniform[0]
+        and index.uniform[1]
+        and not index.three_d
+        and (index.edges0.shape[0] - 1) < 16384
+        and (index.edges1.shape[0] - 1) < 16384
+    )
     if carried:
         rows0 = gather_rows(frame, cell0)  # (n_prow, n_pad)
         n_prow = rows0.shape[0]
         gsrc = None
         cheb_base = 0
     else:
-        base_mat = frame.packed_slim if slim else frame.packed
+        from .grid import PCOL_SLIM
+
+        if ultra:
+            # slim layout keeps [v0, v1, ne_lab, temp] contiguous at rows 4:8
+            base_mat = frame.packed_slim[PCOL_SLIM["v0"]: PCOL_SLIM["temp"] + 1]
+        else:
+            base_mat = frame.packed_slim if slim else frame.packed
         if cheb:
             from .ops import hot_xsec
 
@@ -721,9 +741,21 @@ def transport_rounds_fused(
                 jnp.concatenate([base_mat, ch], axis=0)
             )
         else:
-            gsrc = base_mat
+            # the ultra slice must also be materialized for the same reason
+            gsrc = jax.lax.optimization_barrier(base_mat) if ultra else base_mat
             cheb_base = 0
         n_prow = gsrc.shape[0]
+    if ultra:
+        d0_u = index.edges0[1] - index.edges0[0]
+        d1_u = index.edges1[1] - index.edges1[0]
+        geom_vec = jnp.concatenate([
+            frame.domain.reshape(-1).astype(jnp.float32),
+            jnp.stack([index.lo[0], d0_u, index.lo[1], d1_u]).astype(jnp.float32),
+        ])
+        n1_static = index.edges1.shape[0] - 1
+    else:
+        geom_vec = frame.domain.reshape(-1)
+        n1_static = 0
 
     def aux_planes(state, rows):
         """Per-lane tau coefficient + thermal probability for the kernel.
@@ -771,20 +803,28 @@ def transport_rounds_fused(
             state[pr.SP_Z].reshape(-1),
         ], axis=-1)
 
-    def run_kernel(state, rows, block_act, alive, pool, in_grid, rounds):
+    def run_kernel(state, rows, block_act, alive, pool, in_grid, rounds,
+                   cell_safe=None):
         flags = (
             alive.astype(jnp.int32) * pr.FLAG_ALIVE
             + pool.astype(jnp.int32) * pr.FLAG_POOL
             + (in_grid.reshape(r_pad, lanes)).astype(jnp.int32) * pr.FLAG_INGRID
         )[None]
+        if ultra:
+            # pack the lane's (i, j) cell index above the flag bits so the
+            # kernel can reconstruct the cell geometry without gathered rows
+            ci = cell_safe // n1_static
+            cj = cell_safe - ci * n1_static
+            bits = (ci << 17) | (cj << 3)
+            flags = flags | bits.reshape(r_pad, lanes)[None]
         aux = aux_planes(state, rows) if use_aux else None
         return pr.fused_rounds(
-            cfg, base_seed + rounds * jnp.int32(7919), frame.domain.reshape(-1),
+            cfg, base_seed + rounds * jnp.int32(7919), geom_vec,
             state, rows.reshape(n_prow, r_pad, lanes), flags,
             aux=aux, block_act=block_act,
             stokes_on=stokes_on, inner_rounds=inner_rounds,
             s_rows=s_rows, interpret=interpret, nonthermal=nonthermal,
-            slim=slim, cheb_base=cheb_base, nt_sub1=nt_sub1,
+            slim=slim, cheb_base=cheb_base, nt_sub1=nt_sub1, ultra=ultra,
         )
 
     def make_perm(act_row, n_act):
@@ -873,7 +913,8 @@ def transport_rounds_fused(
         cell, in_grid = find_cell_direct(cfg, index, frame, kernel_pos(state))
         safe = jnp.clip(cell, 0, frame.num_elements - 1)
         rows = gsrc[:, safe]
-        res = run_kernel(state, rows, block_act, alive, pool, in_grid, rounds)
+        res = run_kernel(state, rows, block_act, alive, pool, in_grid, rounds,
+                         cell_safe=safe)
         promoted = (res.out_flags[0] & pr.OUT_PROMOTED) != 0
         pool = pool & ~promoted
         return (res.state, alive, pool, promoted_any | promoted,

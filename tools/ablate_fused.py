@@ -21,6 +21,24 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _sync(x):
+    """Force REAL completion: on the axon tunnel backend block_until_ready
+    can return at dispatch completion, which made every round-3 microbench
+    number bogus (a full-frame fused call "measured" 0.6 ms).  A device_get
+    of a reduction is an actual data readback and cannot lie."""
+    import jax
+    import jax.numpy as jnp
+
+    leaf = x
+    if hasattr(x, "state"):
+        leaf = x.state
+    elif hasattr(x, "photons"):
+        leaf = x.photons.p
+    if isinstance(leaf, (list, tuple)):
+        leaf = leaf[0]
+    return float(jax.device_get(jnp.sum(leaf.reshape(-1)[:4096])))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -93,12 +111,12 @@ def main():
 
         try:
             res = call(0)
-            jax.block_until_ready(res.photons.p)
+            _sync(res)
             t0 = time.perf_counter()
             reps = 3
             for k in range(reps):
                 res = call(k + 1)
-                jax.block_until_ready(res.photons.p)
+                _sync(res)
             dt = (time.perf_counter() - t0) / reps
             n_inv = int(res.n_rounds) / 4
             print(

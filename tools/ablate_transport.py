@@ -59,7 +59,7 @@ def time_rounds(cfg, photons, frame, idx, n_rounds=16, stokes_on=True, reps=3):
     res = transport.transport_rounds(
         cfg, photons, frame, idx, t_rem, key, stokes_on=stokes_on, max_rounds=n_rounds
     )
-    jax.block_until_ready(res.photons)
+    _sync(res)
     best = np.inf
     for r in range(reps):
         t0 = time.perf_counter()
@@ -67,11 +67,29 @@ def time_rounds(cfg, photons, frame, idx, n_rounds=16, stokes_on=True, reps=3):
             cfg, photons, frame, idx, t_rem, make_key(r + 1),
             stokes_on=stokes_on, max_rounds=n_rounds,
         )
-        jax.block_until_ready(res.photons)
+        _sync(res)
         best = min(best, time.perf_counter() - t0)
     n = photons.capacity
     per = best / (n * int(res.n_rounds)) * 1e9
     return best, per, int(res.n_scatt), int(res.n_rounds)
+
+
+def _sync(x):
+    """Force REAL completion: on the axon tunnel backend block_until_ready
+    can return at dispatch completion, which made every round-3 microbench
+    number bogus (a full-frame fused call "measured" 0.6 ms).  A device_get
+    of a reduction is an actual data readback and cannot lie."""
+    import jax
+    import jax.numpy as jnp
+
+    leaf = x
+    if hasattr(x, "state"):
+        leaf = x.state
+    elif hasattr(x, "photons"):
+        leaf = x.photons.p
+    if isinstance(leaf, (list, tuple)):
+        leaf = leaf[0]
+    return float(jax.device_get(jnp.sum(leaf.reshape(-1)[:4096])))
 
 
 def main():

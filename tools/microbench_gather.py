@@ -22,12 +22,30 @@ def timeit(fn, *args, reps=20):
     import jax
 
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / reps
+
+
+def _sync(x):
+    """Force REAL completion: on the axon tunnel backend block_until_ready
+    can return at dispatch completion, which made every round-3 microbench
+    number bogus (a full-frame fused call "measured" 0.6 ms).  A device_get
+    of a reduction is an actual data readback and cannot lie."""
+    import jax
+    import jax.numpy as jnp
+
+    leaf = x
+    if hasattr(x, "state"):
+        leaf = x.state
+    elif hasattr(x, "photons"):
+        leaf = x.photons.p
+    if isinstance(leaf, (list, tuple)):
+        leaf = leaf[0]
+    return float(jax.device_get(jnp.sum(leaf.reshape(-1)[:4096])))
 
 
 def main():

@@ -16,6 +16,24 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _sync(x):
+    """Force REAL completion: on the axon tunnel backend block_until_ready
+    can return at dispatch completion, which made every round-3 microbench
+    number bogus (a full-frame fused call "measured" 0.6 ms).  A device_get
+    of a reduction is an actual data readback and cannot lie."""
+    import jax
+    import jax.numpy as jnp
+
+    leaf = x
+    if hasattr(x, "state"):
+        leaf = x.state
+    elif hasattr(x, "photons"):
+        leaf = x.photons.p
+    if isinstance(leaf, (list, tuple)):
+        leaf = leaf[0]
+    return float(jax.device_get(jnp.sum(leaf.reshape(-1)[:4096])))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -81,11 +99,11 @@ def main():
             return pr.fused_rounds(cfg, seed + s, dom, state, rows, flags,
                                    s_rows=s_rows, **kw)
         out = call(0)
-        jax.block_until_ready(out.state)
+        _sync(out)
         t0 = time.perf_counter()
         for k in range(reps):
             out = call(k)
-        jax.block_until_ready(out.state)
+        _sync(out)
         return (time.perf_counter() - t0) / reps
 
     base = dict(stokes_on=True, inner_rounds=4, el_iters=12, kn_iters=16)

@@ -13,6 +13,24 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _sync(x):
+    """Force REAL completion: on the axon tunnel backend block_until_ready
+    can return at dispatch completion, which made every round-3 microbench
+    number bogus (a full-frame fused call "measured" 0.6 ms).  A device_get
+    of a reduction is an actual data readback and cannot lie."""
+    import jax
+    import jax.numpy as jnp
+
+    leaf = x
+    if hasattr(x, "state"):
+        leaf = x.state
+    elif hasattr(x, "photons"):
+        leaf = x.photons.p
+    if isinstance(leaf, (list, tuple)):
+        leaf = leaf[0]
+    return float(jax.device_get(jnp.sum(leaf.reshape(-1)[:4096])))
+
+
 def main():
     import jax
     cache_dir = os.environ.get("MCRAT_TPU_JAX_CACHE", "/tmp/mcrat_tpu_jax_cache")
@@ -52,12 +70,12 @@ def main():
             res = transport.transport_rounds_fused(
                 cfg, photons, frame, idx, t_rem, make_key(0),
                 inner_rounds=k, s_rows=s_rows)
-            jax.block_until_ready(res.photons.p)
+            _sync(res)
             t0 = time.perf_counter()
             res = transport.transport_rounds_fused(
                 cfg, photons, frame, idx, t_rem, make_key(1),
                 inner_rounds=k, s_rows=s_rows)
-            jax.block_until_ready(res.photons.p)
+            _sync(res)
             dt = time.perf_counter() - t0
             n = int(res.n_scatt)
             print(f"inner_rounds={k} s_rows={s_rows} n_scatt={n} "
