@@ -643,7 +643,7 @@ def _run_rank_inner(
                 # the single-worker queue.
                 n_live_now = int(pending_stats[9])
                 sub_ph = transport.compact_live(
-                    photons, min(transport._pow2(n_live_now), photons.capacity)
+                    photons, min(transport._pad64k(n_live_now), photons.capacity)
                 )
                 persist.submit_frame(
                     cfg, work.mc_dir, rank, st, sub_ph, meta, scatt_frame

@@ -302,9 +302,14 @@ class HydroFrameHost:
         packed_slim = None
         if (
             self.cfg.dims is Dims.TWO
-            and self.cfg.geometry in (Geometry.CARTESIAN, Geometry.CYLINDRICAL)
+            and self.cfg.geometry
+            in (Geometry.CARTESIAN, Geometry.CYLINDRICAL, Geometry.SPHERICAL)
             and not np.any(self.v2)
         ):
+            # spherical 2-D frames carry the slim matrix for the fused
+            # kernel's ULTRA path only (its sin/cos theta cell cache is
+            # recomputed in-kernel from the cell index); the plain slim path
+            # stays cart/cyl because find_cell_rows needs the trig rows
             packed_slim = np.stack([
                 self.r0, self.r1, self.dr0, self.dr1,
                 self.v0, self.v1, self.dens_lab * (1.0 / M_P), self.temp,

@@ -590,27 +590,40 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
     # planes and no stall-on-scatter (ops.hot_xsec._sub1_cheb_static)
     nt_inkernel = nonthermal and cheb_base > 0 and nt_sub1 is not None
     if ultra:
-        # uniform-rectilinear 2-D cart/cyl: per-cell GEOMETRY is computed
-        # from the lane's (i, j) cell index (packed into the flags plane) and
-        # four SMEM grid scalars, so the per-invocation gather carries only
-        # the 4 physics rows — half of slim's 8, a quarter of packed's 16
-        assert slim, "ultra implies the slim physics reads"
-        COL = dict(v0=0, v1=1, ne_lab=2, temp=3)
+        # uniform-rectilinear grids: per-cell GEOMETRY is computed from the
+        # lane's cell-index bits (packed into the flags plane) and the grid
+        # scalars appended to the SMEM dom vector, so the per-invocation
+        # gather carries only the physics rows — 4 (2-D: v0, v1, ne_lab,
+        # temp) or 5 (3-D cartesian: + v2) instead of slim's 8 / packed's 16.
+        # gamma and |beta| are recomputed from the velocity components.
+        assert not nonthermal and not use_aux
+        if two_d:
+            assert geom in (Geometry.CARTESIAN, Geometry.CYLINDRICAL,
+                            Geometry.SPHERICAL)
+            COL = dict(v0=0, v1=1, ne_lab=2, temp=3)
+        else:
+            assert geom is Geometry.CARTESIAN
+            COL = dict(v0=0, v1=1, v2=2, ne_lab=3, temp=4)
     elif slim:
         from ..grid import PCOL_SLIM as COL
     else:
         COL = PCOL
-    if slim:
+    if slim and not ultra:
         assert two_d and geom in (Geometry.CARTESIAN, Geometry.CYLINDRICAL)
         assert not nonthermal, "nonthermal needs the full packed layout"
 
-    def fluid_beta(row, px, py):
-        """grid.fluid_beta_from_rows, component form."""
+    def fluid_beta(row, px, py, ug=None):
+        """grid.fluid_beta_from_rows, component form.  ``ug`` carries the
+        ultra path's computed per-cell (sin theta_c, cos theta_c)."""
         v0 = row[COL["v0"]]
         v1 = row[COL["v1"]]
         if not two_d:
-            return v0, v1, row[PCOL["v2"]]
-        v2 = row[PCOL["v2"]] if (dims is not Dims.TWO and not slim) else jnp.zeros_like(v0)
+            return v0, v1, row[COL["v2"] if ultra else PCOL["v2"]]
+        v2 = (
+            row[PCOL["v2"]]
+            if (dims is not Dims.TWO and not (slim or ultra))
+            else jnp.zeros_like(v0)
+        )
         rho = jnp.sqrt(px * px + py * py)
         has = rho > 0
         safe = jnp.where(has, rho, 1.0)
@@ -619,8 +632,11 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
         if geom in (Geometry.CARTESIAN, Geometry.CYLINDRICAL):
             return v0 * c2 - v2 * s2, v0 * s2 + v2 * c2, v1
         if geom is Geometry.SPHERICAL:
-            s1 = row[PCOL["sin1"]]
-            c1 = row[PCOL["cos1"]]
+            if ug is not None:
+                s1, c1 = ug
+            else:
+                s1 = row[PCOL["sin1"]]
+                c1 = row[PCOL["cos1"]]
             vr = v0 * s1 + v1 * c1
             return vr * c2 - v2 * s2, vr * s2 + v2 * c2, v0 * c1 - v1 * s1
         raise ValueError(f"unsupported geometry {geom}")
@@ -651,10 +667,15 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
         if dims is Dims.THREE:
             if geom is Geometry.CARTESIAN:
                 h0, h1, h2 = px, py, pz
+                if cg is not None:  # ultra: computed cell geometry
+                    c0, c1, c2_, d0, d1, d2 = cg
+                else:
+                    c0, c1, c2_ = row[PCOL["r0"]], row[PCOL["r1"]], row[PCOL["r2"]]
+                    d0, d1, d2 = row[PCOL["dr0"]], row[PCOL["dr1"]], row[PCOL["dr2"]]
                 ok = (
-                    (2.0 * jnp.abs(h0 - row[PCOL["r0"]]) - row[PCOL["dr0"]] <= 0)
-                    & (2.0 * jnp.abs(h1 - row[PCOL["r1"]]) - row[PCOL["dr1"]] <= 0)
-                    & (2.0 * jnp.abs(h2 - row[PCOL["r2"]]) - row[PCOL["dr2"]] <= 0)
+                    (2.0 * jnp.abs(h0 - c0) - d0 <= 0)
+                    & (2.0 * jnp.abs(h1 - c1) - d1 <= 0)
+                    & (2.0 * jnp.abs(h2 - c2_) - d2 <= 0)
                     & (h0 > dom_ref[0]) & (h0 < dom_ref[1])
                     & (h1 > dom_ref[2]) & (h1 < dom_ref[3])
                     & (h2 > dom_ref[4]) & (h2 < dom_ref[5])
@@ -726,13 +747,19 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
             inv_r = 1.0 / jnp.maximum(r, _TINY)
             cos_th = jnp.clip(pz * inv_r, -1.0, 1.0)
             sin_th = rho * inv_r
+            if cg is not None:  # ultra: computed cell geometry + trig
+                r_c, s1c, c1c, d0, cos_half_dth = cg
+            else:
+                r_c, d0 = row[PCOL["r0"]], row[PCOL["dr0"]]
+                s1c, c1c = row[PCOL["sin1"]], row[PCOL["cos1"]]
+                cos_half_dth = jnp.cos(0.5 * row[PCOL["dr1"]])
             # cos(theta - c1) = cos th cos c1 + sin th sin c1
-            cos_dth = cos_th * row[PCOL["cos1"]] + sin_th * row[PCOL["sin1"]]
-            in_theta = cos_dth >= jnp.cos(0.5 * row[PCOL["dr1"]])
+            cos_dth = cos_th * c1c + sin_th * s1c
+            in_theta = cos_dth >= cos_half_dth
             # domain: theta in (d2, d3) <=> cos d2 > cos th > cos d3
             in_theta_dom = (cos_th < jnp.cos(dom_ref[2])) & (cos_th > jnp.cos(dom_ref[3]))
             return (
-                (2.0 * jnp.abs(r - row[PCOL["r0"]]) - row[PCOL["dr0"]] <= 0)
+                (2.0 * jnp.abs(r - r_c) - d0 <= 0)
                 & in_theta & in_theta_dom
                 & (r > dom_ref[0]) & (r < dom_ref[1])
             )
@@ -779,25 +806,55 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
         alive = (flags & FLAG_ALIVE) != 0
         is_pool = (flags & FLAG_POOL) != 0
         in_grid = (flags & FLAG_INGRID) != 0
+        ultra_trig = None
         if ultra:
-            # per-lane cell geometry from the (i, j) index bits packed above
-            # FLAG bits (transport packs j at bit 3, i at bit 17) and the
-            # uniform-grid scalars appended to the SMEM dom vector
-            jj = ((flags >> 3) & 0x3FFF).astype(jnp.float32)
-            ii = ((flags >> 17) & 0x3FFF).astype(jnp.float32)
-            cell_geom = (
-                dom_ref[6] + (ii + 0.5) * dom_ref[7],
-                dom_ref[8] + (jj + 0.5) * dom_ref[9],
-                dom_ref[7] + jnp.zeros_like(ii),
-                dom_ref[9] + jnp.zeros_like(ii),
-            )
+            # per-lane cell geometry from the cell-index bits packed above
+            # the FLAG bits and the uniform-grid scalars appended to the SMEM
+            # dom vector.  2-D: j at bit 3 (14 bits), i at bit 17 (14 bits);
+            # 3-D cartesian: k at bit 3 (10), j at bit 13 (10), i at bit 23
+            # (8).  All loop-invariant within the invocation (a lane that
+            # leaves its cell stalls).
+            if two_d:
+                jj = ((flags >> 3) & 0x3FFF).astype(jnp.float32)
+                ii = ((flags >> 17) & 0x3FFF).astype(jnp.float32)
+                c0u = dom_ref[6] + (ii + 0.5) * dom_ref[7]
+                c1u = dom_ref[8] + (jj + 0.5) * dom_ref[9]
+                if geom is Geometry.SPHERICAL:
+                    s1c = jnp.sin(c1u)
+                    c1c = jnp.cos(c1u)
+                    cell_geom = (
+                        c0u, s1c, c1c,
+                        dom_ref[7] + jnp.zeros_like(ii),
+                        jnp.cos(0.5 * dom_ref[9]) + jnp.zeros_like(ii),
+                    )
+                    ultra_trig = (s1c, c1c)
+                else:
+                    cell_geom = (
+                        c0u, c1u,
+                        dom_ref[7] + jnp.zeros_like(ii),
+                        dom_ref[9] + jnp.zeros_like(ii),
+                    )
+            else:
+                kk = ((flags >> 3) & 0x3FF).astype(jnp.float32)
+                jj = ((flags >> 13) & 0x3FF).astype(jnp.float32)
+                ii = ((flags >> 23) & 0xFF).astype(jnp.float32)
+                zero = jnp.zeros_like(ii)
+                cell_geom = (
+                    dom_ref[6] + (ii + 0.5) * dom_ref[7],
+                    dom_ref[8] + (jj + 0.5) * dom_ref[9],
+                    dom_ref[10] + (kk + 0.5) * dom_ref[11],
+                    dom_ref[7] + zero, dom_ref[9] + zero, dom_ref[11] + zero,
+                )
         else:
             cell_geom = None
 
         temp = row[COL["temp"]]
-        if slim:
+        if slim or ultra:
             v0s, v1s = row[COL["v0"]], row[COL["v1"]]
             beta2 = v0s * v0s + v1s * v1s
+            if not two_d:
+                v2s = row[COL["v2"]]
+                beta2 = beta2 + v2s * v2s
             beta_mag = jnp.sqrt(beta2)
             gam = jax.lax.rsqrt(jnp.maximum(1.0 - beta2, _TINY))
             n_e = row[COL["ne_lab"]]
@@ -878,7 +935,7 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
             act = alive & (t_rem > 0) & (stalled == 0.0)
 
             # 1. tau rate from the carried row (transport._tau_rate, DIRECT)
-            bx, by, bz = fluid_beta(row, px, py)
+            bx, by, bz = fluid_beta(row, px, py, ug=ultra_trig)
             fl_norm = jnp.sqrt(bx * bx + by * by + bz * bz)
             ph_norm = jnp.sqrt(p1 * p1 + p2 * p2 + p3 * p3)
             denom = jnp.maximum(fl_norm * ph_norm, _TINY)

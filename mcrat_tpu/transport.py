@@ -681,8 +681,14 @@ def transport_rounds_fused(
     # 8-row property layout where the frame provides it (2-D cart/cyl, no
     # phi-hat velocity): halves the dominant per-invocation gather.  The
     # carried path keeps the full layout (find_cell_rows's AABB pin needs it).
+    from .config import Geometry as _Geom
+
     slim = (
         not carried and frame.packed_slim is not None and not nonthermal
+        # cart/cyl only: spherical frames also carry packed_slim now, but
+        # the 8-row layout lacks the theta trig rows the slim membership
+        # test needs — spherical rides the ULTRA path (computed trig) only
+        and cfg.geometry in (_Geom.CARTESIAN, _Geom.CYLINDRICAL)
     )
     # TABLE mode on the direct path runs fully in-kernel: per-cell Chebyshev
     # sigma_hat rows ride the same gather as the fluid properties and the tau
@@ -700,29 +706,56 @@ def transport_rounds_fused(
         use_aux = False
     if not (cheb and nonthermal):
         nt_sub1 = None
-    # ultra: uniform-rectilinear 2-D cart/cyl — the kernel reconstructs the
-    # cell geometry from the lane's (i, j) index bits + 4 SMEM grid scalars,
-    # so the dominant per-invocation gather carries only the 4 physics rows
-    # (v0, v1, ne_lab, temp); the element gather is the measured hard floor
-    # of the XLA glue, and its cost is proportional to the row count
-    ultra = (
-        slim
-        and isinstance(index, RectilinearIndex)
-        and index.uniform[0]
-        and index.uniform[1]
-        and not index.three_d
-        and (index.edges0.shape[0] - 1) < 16384
-        and (index.edges1.shape[0] - 1) < 16384
+    # ultra: uniform-rectilinear grids — the kernel reconstructs per-cell
+    # geometry (and, for spherical, the theta trig cache) from the lane's
+    # cell-index bits + a few SMEM grid scalars, so the dominant
+    # per-invocation ELEMENT GATHER — the measured hard floor of the XLA
+    # glue, cost proportional to row count — carries only the physics rows:
+    # 4 for 2-D (v0, v1, ne_lab, temp), 5 for 3-D cartesian (+ v2).
+    from .config import Geometry
+    from .grid import PCOL as _PCOL, PCOL_SLIM
+
+    rect = isinstance(index, RectilinearIndex)
+    n_ax = (
+        [index.edges0.shape[0] - 1, index.edges1.shape[0] - 1,
+         index.edges2.shape[0] - 1] if rect else [0, 0, 0]
     )
+    ultra2d = (
+        slim and rect and not index.three_d
+        and index.uniform[0] and index.uniform[1]
+        and n_ax[0] < 16384 and n_ax[1] < 16384
+    )
+    # spherical 2-D: packed_slim exists (no phi-hat velocity) but the plain
+    # slim path is cart/cyl-only, so it rides ultra exclusively
+    ultra_sph = (
+        not carried and not nonthermal and frame.packed_slim is not None
+        and cfg.geometry is Geometry.SPHERICAL and cfg.dims is Dims.TWO
+        and rect and not index.three_d
+        and index.uniform[0] and index.uniform[1]
+        and n_ax[0] < 16384 and n_ax[1] < 16384
+    )
+    ultra3d = (
+        not carried and not nonthermal
+        and cfg.dims is Dims.THREE and cfg.geometry is Geometry.CARTESIAN
+        and rect and index.three_d and all(index.uniform)
+        and n_ax[0] < 256 and n_ax[1] < 1024 and n_ax[2] < 1024
+    )
+    ultra = ultra2d or ultra_sph or ultra3d
+    if ultra:
+        slim = False  # ultra uses its own (smaller) physics-row layout
     if carried:
         rows0 = gather_rows(frame, cell0)  # (n_prow, n_pad)
         n_prow = rows0.shape[0]
         gsrc = None
         cheb_base = 0
     else:
-        from .grid import PCOL_SLIM
-
-        if ultra:
+        if ultra3d:
+            p = frame.packed
+            base_mat = jnp.stack([
+                p[_PCOL["v0"]], p[_PCOL["v1"]], p[_PCOL["v2"]],
+                p[_PCOL["dens_lab"]] * (1.0 / M_P), p[_PCOL["temp"]],
+            ])
+        elif ultra:
             # slim layout keeps [v0, v1, ne_lab, temp] contiguous at rows 4:8
             base_mat = frame.packed_slim[PCOL_SLIM["v0"]: PCOL_SLIM["temp"] + 1]
         else:
@@ -741,21 +774,24 @@ def transport_rounds_fused(
                 jnp.concatenate([base_mat, ch], axis=0)
             )
         else:
-            # the ultra slice must also be materialized for the same reason
+            # the ultra slice/stack must also be materialized for the same reason
             gsrc = jax.lax.optimization_barrier(base_mat) if ultra else base_mat
             cheb_base = 0
         n_prow = gsrc.shape[0]
     if ultra:
         d0_u = index.edges0[1] - index.edges0[0]
         d1_u = index.edges1[1] - index.edges1[0]
+        parts = [index.lo[0], d0_u, index.lo[1], d1_u]
+        if ultra3d:
+            parts += [index.lo[2], index.edges2[1] - index.edges2[0]]
         geom_vec = jnp.concatenate([
             frame.domain.reshape(-1).astype(jnp.float32),
-            jnp.stack([index.lo[0], d0_u, index.lo[1], d1_u]).astype(jnp.float32),
+            jnp.stack(parts).astype(jnp.float32),
         ])
-        n1_static = index.edges1.shape[0] - 1
+        n1_static, n2_static = n_ax[1], n_ax[2]
     else:
         geom_vec = frame.domain.reshape(-1)
-        n1_static = 0
+        n1_static, n2_static = 0, 0
 
     def aux_planes(state, rows):
         """Per-lane tau coefficient + thermal probability for the kernel.
@@ -811,11 +847,20 @@ def transport_rounds_fused(
             + (in_grid.reshape(r_pad, lanes)).astype(jnp.int32) * pr.FLAG_INGRID
         )[None]
         if ultra:
-            # pack the lane's (i, j) cell index above the flag bits so the
-            # kernel can reconstruct the cell geometry without gathered rows
-            ci = cell_safe // n1_static
-            cj = cell_safe - ci * n1_static
-            bits = (ci << 17) | (cj << 3)
+            # pack the lane's cell index above the flag bits so the kernel
+            # can reconstruct the cell geometry without gathered rows
+            # (C-order ravel: idx = (i*n1 + j)*n2 + k, grid.RectilinearIndex)
+            if ultra3d:
+                n12 = n1_static * n2_static
+                ci = cell_safe // n12
+                rem = cell_safe - ci * n12
+                cj = rem // n2_static
+                ck = rem - cj * n2_static
+                bits = (ci << 23) | (cj << 13) | (ck << 3)
+            else:
+                ci = cell_safe // n1_static
+                cj = cell_safe - ci * n1_static
+                bits = (ci << 17) | (cj << 3)
             flags = flags | bits.reshape(r_pad, lanes)[None]
         aux = aux_planes(state, rows) if use_aux else None
         return pr.fused_rounds(
@@ -1290,6 +1335,19 @@ def _pow2(n: int, floor: int = 1024) -> int:
     import math as _math
 
     return max(floor, 1 << int(np.ceil(np.log2(max(n, 1)))))
+
+
+def _pad64k(n: int, floor: int = 1024) -> int:
+    """Round up to a 64k multiple (pow2 below 64k).
+
+    The persistence subset is fetched over a ~25 MB/s tunnel; pow-2 padding
+    wasted up to 2x the transfer (a 440k-live population padded to 524k).
+    64k granularity caps the waste at ~15% while bounding the number of
+    compiled compact_live shapes at capacity/65536.
+    """
+    if n <= 65536:
+        return _pow2(n, floor)
+    return ((n + 65535) // 65536) * 65536
 
 
 @functools.partial(jax.jit, static_argnames=("new_cap",))
