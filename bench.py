@@ -341,7 +341,11 @@ def main():
             factory = default_synthetic_factory(cfg_cs, par_cs, nr=256, ntheta=48)
             t0 = time.perf_counter()
             run_rank(
-                cfg_cs, par_cs, paths_cs, rank=0, num_ranks=1, chunk_rounds=64,
+                cfg_cs, par_cs, paths_cs, rank=0, num_ranks=1,
+                # 256-round chunks: every chunk boundary is a host fetch that
+                # queues behind the overlapped persistence transfer on the
+                # shared link — at fps=1 a frame runs hundreds of rounds
+                chunk_rounds=256,
                 synthetic_frame_factory=factory, progress=False,
             )
             el = time.perf_counter() - t0
