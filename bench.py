@@ -355,7 +355,10 @@ def main():
             return el, total_ns
 
         one_run()  # warm-up: compiles every capacity/compaction shape
-        el_cs, total_ns = one_run()
+        # median of 3 warm runs: the point is persistence-bound and the
+        # device link's throughput varies >2x run to run
+        runs = sorted(one_run() for _ in range(3))
+        el_cs, total_ns = runs[1]
         print(
             json.dumps(
                 {
