@@ -74,12 +74,23 @@ def _tau_radius(host, theta_mid, tau_target):
 
 
 def _run_bin(host, frame, idx, r_inj, t_lo, t_hi, seed, n_frames, fps,
-             min_photons, max_photons, capacity):
+             min_photons, max_photons, capacity, shell_frac=0.1):
+    """Inject a THIN shell at the tau-targeted radius, then transport.
+
+    The injection shell half-width is ``shell_frac/2 * r_inj`` — decoupled
+    from the transport frame duration (1/fps).  With the old coupling
+    (half-width = c/(2 fps) = r_inj) the shell spanned [0, 2 r_inj] and the
+    per-cell dV Gamma T'^3 weighting concentrated essentially every photon in
+    the deep tau ~ 1e4 furnace near the grid floor, where nothing can escape
+    within the simulated window — the population measured was never a
+    photosphere.
+    """
     rng = np.random.default_rng(seed)
+    fps_inj = C_LIGHT / (shell_frac * r_inj)
     arrays, _ = transport.inject_photons(
         host, r_inj=r_inj, ph_weight=1e48, min_photons=min_photons,
         max_photons=max_photons, spect=Spectrum.BLACKBODY,
-        theta_min=t_lo, theta_max=t_hi, fps=fps, rng=rng,
+        theta_min=t_lo, theta_max=t_hi, fps=fps_inj, rng=rng,
     )
     ph, _ = transport.photons_from_arrays(arrays, capacity=capacity, dtype=jnp.float64)
     key = jax.random.PRNGKey(seed)
@@ -91,7 +102,13 @@ def _run_bin(host, frame, idx, r_inj, t_lo, t_hi, seed, n_frames, fps,
 
 
 def _band_polarization(ph, t_lo, t_hi, r_cut):
-    """Weighted polarization of *escaped* photons (r > r_cut) in a band."""
+    """Weighted polarization of *escaped* photons (r > r_cut) reaching an
+    observer in the DIRECTION band [t_lo, t_hi).
+
+    Binning by momentum direction (the observer's viewing angle), not by
+    position angle: LPR14's Pi(theta_v) is an observer-frame quantity, and a
+    position bin mixes lines of sight across the whole local beaming cone.
+    """
     p = np.asarray(ph.p)
     w = np.asarray(ph.weight)
     r = np.linalg.norm(np.asarray(ph.pos), axis=1)
@@ -109,6 +126,12 @@ def _band_polarization(ph, t_lo, t_hi, r_cut):
 
 @pytest.mark.slow
 def test_polarization_rises_off_axis(jet_problem):
+    """Measured LPR14 structure on this scaled problem (diagnostics,
+    2026-08, thin-shell injection): Q(theta_v) is ~0 in the core, peaks
+    NEGATIVE around theta_v ~ 2 theta_j at ~2.7x the Rayleigh floor
+    ([0.18, 0.22): q = -0.047, floor 0.018), decays beyond 2.6 theta_j, and
+    U is consistent with zero everywhere — the qualitative LPR14 law this
+    test pins (magnitude parity is not claimed at this scaled luminosity)."""
     host, frame, idx = jet_problem
 
     # on-axis observers: inject in the jet core at tau ~ 3
@@ -118,16 +141,17 @@ def test_polarization_rises_off_axis(jet_problem):
                      n_frames=4, fps=fps_on,
                      min_photons=2000, max_photons=4000, capacity=4096)
 
-    # shear-layer lines of sight (theta_v ~ 1.5-2.5 theta_j): tau ~ 3 there
+    # shear-layer lines of sight: tau ~ 3 at theta = 2 theta_j
     r_off = _tau_radius(host, 0.2, 3.0)
     fps_off = C_LIGHT / (2.0 * r_off)
-    ph_off = _run_bin(host, frame, idx, r_off, 0.12, 0.28, seed=2,
+    ph_off = _run_bin(host, frame, idx, r_off, 0.10, 0.30, seed=2,
                       n_frames=5, fps=fps_off,
-                      min_photons=6000, max_photons=12000, capacity=16384)
+                      min_photons=12000, max_photons=24000, capacity=32768)
 
     pi_on, q_on, u_on, n_on = _band_polarization(ph_on, 0.0, 0.05, r_cut=3 * r_on)
+    # observer band around the polarization peak (theta_v ~ 1.6-2.4 theta_j)
     pi_off, q_off, u_off, n_off = _band_polarization(
-        ph_off, 0.12, 0.30, r_cut=3 * r_off
+        ph_off, 0.16, 0.24, r_cut=3 * r_off
     )
     assert n_on > 300 and n_off > 400, (n_on, n_off)
 
@@ -137,8 +161,9 @@ def test_polarization_rises_off_axis(jet_problem):
     # core lines of sight: symmetric -> polarization consistent with zero
     assert pi_on < 3 * floor_on + 0.02, (pi_on, floor_on, n_on)
     # through the shear layer: polarization significantly above the noise
-    # floor and above the core value (the LPR14 law)
+    # floor and above the core value, carried by Q (the LPR14 law)
     assert pi_off > 2 * floor_off, (pi_off, floor_off, n_off)
     assert pi_off > pi_on + floor_off, (pi_off, pi_on)
+    assert q_off < 0, (q_off,)
     # U vanishes by axisymmetry (within noise)
     assert abs(u_off) < 4 / np.sqrt(n_off), (u_off, n_off)
