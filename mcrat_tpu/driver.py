@@ -90,7 +90,65 @@ def decompose_work(
     )
 
 
-_INIT_CLEAN_MARKER = ".mc_init_clean"
+@dataclasses.dataclass(frozen=True)
+class FrameSchedule:
+    """Per-format hydro frame schedule (SURVEY §7 hard-part e).
+
+    The reference scatters the RIKEN 3-D special case — files come every 10
+    frames at 1 fps beyond frame 3000 — through both driver loops and the
+    checkpoint reader (Src/mcrat.c:551-562,612-624,667-679;
+    Src/mcrat_io.c:1044-1053).  Here one object answers every schedule
+    question; every other format is uniform at ``base_fps``.
+    """
+
+    base_fps: float
+    riken3d: bool = False
+
+    _RIKEN_SWITCH_FRAME = 3000
+    _RIKEN_INCREMENT = 10
+
+    def step(self, frame: int):
+        """(frame increment, fps) in effect at ``frame``."""
+        if self.riken3d and frame >= self._RIKEN_SWITCH_FRAME:
+            return self._RIKEN_INCREMENT, 1.0
+        return 1, self.base_fps
+
+    def next(self, frame: int) -> int:
+        return frame + self.step(frame)[0]
+
+    def frames(self, first: int, last: int):
+        """Frame numbers from ``first`` through ``last`` inclusive."""
+        frame = first
+        while frame <= last:
+            yield frame
+            frame = self.next(frame)
+
+    def inj_time(self, frame: int) -> float:
+        """time_now at a fresh injection (reference: mcrat.c:667-679 sets
+        time_now = frame / fps with the fps in effect AT that frame)."""
+        return frame / self.step(frame)[1]
+
+    def end_time(self, frame: int) -> float:
+        """Absolute time at the END of scattering frame ``frame``.
+
+        Uniform formats: (frame+1)/fps.  RIKEN 3-D accumulates dt = 1/fps
+        per visited frame (1/base below 3000, 1 s per 10-frame step above),
+        anchored so the two branches agree at the 3000 boundary.
+        """
+        if not self.riken3d or frame < self._RIKEN_SWITCH_FRAME:
+            return (frame + 1) / self.base_fps
+        k = (frame - self._RIKEN_SWITCH_FRAME) // self._RIKEN_INCREMENT
+        return self._RIKEN_SWITCH_FRAME / self.base_fps + (k + 1) * 1.0
+
+
+def make_frame_schedule(cfg: Config, par: McPar) -> FrameSchedule:
+    from .config import Dims, HydroSim
+
+    return FrameSchedule(
+        base_fps=par.fps,
+        riken3d=(cfg.sim_switch is HydroSim.RIKEN and cfg.dims is Dims.THREE),
+    )
+
 
 _STALE_PATTERNS = (
     "mc_proc_*.h5",
@@ -110,30 +168,54 @@ def _stale_files(mc_dir: str):
     return out
 
 
+_INIT_READY_PREFIX = ".mc_init_ready."
+_INIT_DONE_PREFIX = ".mc_init_done."
+
+
+def _atomic_write(path: str, content: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(content)
+    os.replace(tmp, path)
+
+
 def clean_initialize_dir(
-    mc_dir: str, rank: int, cleaner: bool = True, wait_s: float = 30.0
+    mc_dir: str, rank: int, cleaner: bool = True, wait_s: float = 30.0,
+    expected_ranks=None,
 ) -> int:
     """Delete stale output before an initialize-mode run.
 
     The reference deletes EVERY mc_proc_*, mcdata_*, mc_chkpt_* and log file
     in the angle directory when restart=INITALIZE finds a non-empty directory
     (Src/mcrat.c:507-549, guarded by an MPI barrier so rank 0 cleans before
-    anyone writes).  Ranks here are independent processes with no MPI barrier,
-    so the barrier is replaced by a marker-file protocol: the angle
-    directory's designated ``cleaner`` rank (the lowest rank mapped to it)
-    sweeps the whole stale set — ALL old ranks' files, because a re-initialize
-    with fewer ranks than the previous job must not leave other ranks'
-    mc_proc_*.h5 for merge_all to double-count — and then touches a marker;
-    every other rank waits up to ``wait_s`` for a marker newer than the newest
-    stale file before writing, falling back to a self-only clean if the
-    cleaner never shows (e.g. a deliberately partial re-run).
+    anyone writes).  Ranks here are independent processes with no MPI, so the
+    barrier is a per-rank ready/ack marker handshake (race-free, unlike the
+    marker-mtime heuristic it replaces — that one could sweep a fast rank's
+    fresh output when the cleaner lagged):
 
-    Returns the number of files removed by THIS rank.
+    * every non-cleaner writes ``.mc_init_ready.<rank>`` containing a fresh
+      random nonce, then blocks until ``.mc_init_done.<rank>`` echoes THAT
+      nonce (a stale ack from a previous job cannot match);
+    * the ``cleaner`` (the lowest rank mapped to the directory) waits up to
+      ``wait_s`` for every other expected rank's ready marker, sweeps the
+      whole stale set — ALL old ranks' files, because a re-initialize with
+      fewer ranks than the previous job must not leave other ranks'
+      mc_proc_*.h5 for merge_all to double-count — and only THEN acks each
+      ready marker.  No rank writes output before its ack, so the sweep can
+      never catch fresh files, regardless of launch order or speed.
+
+    Timeout fallbacks keep degraded cases safe-but-slow: a non-cleaner whose
+    ack never comes (no cleaner in a deliberately partial re-run, or a nonce
+    mismatch against a stale ready marker the cleaner acked) waits ``wait_s``
+    then removes only its own files + the shared merged outputs; a cleaner
+    missing some ready markers sweeps anyway after ``wait_s`` (matching the
+    old behavior when ranks run sequentially).
+
+    Returns the number of stale files removed by THIS rank.
     """
+    import glob as _glob
     import time as _time
-
-    marker = os.path.join(mc_dir, _INIT_CLEAN_MARKER)
-    stale = _stale_files(mc_dir)
+    import uuid as _uuid
 
     def _rm(paths):
         n = 0
@@ -145,36 +227,65 @@ def clean_initialize_dir(
                 pass
         return n
 
+    def _ready_markers():
+        out = {}
+        for p in _glob.glob(os.path.join(mc_dir, _INIT_READY_PREFIX + "*")):
+            try:
+                out[int(p.rsplit(".", 1)[-1])] = p
+            except ValueError:
+                pass
+        return out
+
     if cleaner:
-        _rm([marker] if os.path.exists(marker) else [])
-        removed = _rm(stale)
-        with open(marker, "w") as f:
-            f.write(f"{_time.time()}\n")
+        # marker debris from long-dead jobs (fresh markers must survive: a
+        # concurrent rank may have written its ready marker moments ago)
+        old = _time.time() - max(4 * wait_s, 120.0)
+        for p in _glob.glob(os.path.join(mc_dir, ".mc_init_*")):
+            try:
+                if os.path.getmtime(p) < old:
+                    os.remove(p)
+            except OSError:
+                pass
+        expected = set(expected_ranks or ()) - {rank}
+        deadline = _time.monotonic() + wait_s
+        while expected - set(_ready_markers()) and _time.monotonic() < deadline:
+            _time.sleep(0.05)
+        removed = _rm(_stale_files(mc_dir))
+        # ack ONLY after the sweep: an acked rank may write immediately
+        for r, p in _ready_markers().items():
+            try:
+                with open(p) as f:
+                    nonce = f.read().strip()
+            except OSError:
+                continue
+            _atomic_write(os.path.join(mc_dir, f"{_INIT_DONE_PREFIX}{r}"), nonce)
         return removed
 
-    if not stale:
-        return 0
-    newest_stale = max(
-        (os.path.getmtime(p) for p in stale if os.path.exists(p)), default=0.0
-    )
+    nonce = _uuid.uuid4().hex
+    ready = os.path.join(mc_dir, f"{_INIT_READY_PREFIX}{rank}")
+    done = os.path.join(mc_dir, f"{_INIT_DONE_PREFIX}{rank}")
+    _rm([done])  # a stale ack for THIS rank id cannot match the nonce, but
+    # removing it saves pointless polls
+    _atomic_write(ready, nonce)
     deadline = _time.monotonic() + wait_s
     while _time.monotonic() < deadline:
         try:
-            if os.path.getmtime(marker) >= newest_stale:
-                return 0  # rank 0 already swept everything
+            with open(done) as f:
+                if f.read().strip() == nonce:
+                    _rm([ready, done])
+                    return 0  # the cleaner swept everything before acking
         except OSError:
             pass
-        _time.sleep(0.2)
-    # rank 0 never cleaned: remove this rank's own files + shared merged
+        _time.sleep(0.05)
+    # the cleaner never showed: remove this rank's own files + shared merged
     # outputs (idempotent), leaving other live ranks' outputs alone
+    _rm([ready])
     own = [
         os.path.join(mc_dir, f"mc_proc_{rank}.h5"),
         os.path.join(mc_dir, f"mc_chkpt_{rank}.npz"),
         os.path.join(mc_dir, f"mc_chkpt_{rank}.npz.old"),
         os.path.join(mc_dir, f"mc_output_{rank}.log"),
     ]
-    import glob as _glob
-
     own = [p for p in own if os.path.exists(p)]
     own.extend(_glob.glob(os.path.join(mc_dir, "mcdata_*.h5")))
     return _rm(own)
@@ -331,19 +442,26 @@ def run_rank(
     """
     base_dir = base_dir or os.path.join(paths.filepath, paths.mc_path)
     cleaner = True  # explicit-work callers (elastic) adopt old ranks alone
+    dir_ranks = None
     if work is None:
         work = decompose_work(par, rank, num_ranks, base_dir)
         # lowest rank mapped to this angle dir does the full stale sweep (the
         # reference's per-communicator rank 0, Src/mcrat.c:507-549)
         procs_per_angle = max(num_ranks // par.n_theta_bins, 1)
         cleaner = rank == work.angle_id * procs_per_angle
+        # every rank sharing this angle dir (the cleaner's barrier peer set)
+        dir_ranks = [
+            r for r in range(num_ranks)
+            if min(r // procs_per_angle, par.n_theta_bins - 1) == work.angle_id
+        ]
     os.makedirs(work.mc_dir, exist_ok=True)
     # on a multi-process mesh only process 0 touches files; the other
     # processes still run the full loop (the persistence fetch is collective)
     files_here = write_outputs and jax.process_index() == 0
     if par.restart == "i" and files_here:
         n_rm = clean_initialize_dir(
-            work.mc_dir, rank, cleaner=cleaner, wait_s=init_clean_wait_s
+            work.mc_dir, rank, cleaner=cleaner, wait_s=init_clean_wait_s,
+            expected_ranks=dir_ranks,
         )
         if n_rm:
             log.info("rank %d: initialize mode removed %d stale output files", rank, n_rm)
@@ -422,13 +540,15 @@ def _run_rank_inner(
                 state.scatt_frame,
             )
 
+    sched = make_frame_schedule(cfg, par)
+
     def load_frame(frame, ph_inj, bounds):
         synth = None
         edges = None
         if synthetic_frame_factory is not None:
             synth, edges = synthetic_frame_factory(frame)
         host = get_hydro_data(
-            cfg, paths, frame, par.fps, work.r_inj, ph_inj,
+            cfg, paths, frame, sched.step(frame)[1], work.r_inj, ph_inj,
             *(bounds or (0.0, np.inf, 0.0, np.pi)),
             synthetic_frame=synth,
         )
@@ -439,14 +559,15 @@ def _run_rank_inner(
     pending_stats = None  # (11,) frame_stats of the previous frame's population
     n_pool_host = 0
 
-    for frame in range(frame0, work.frm2 + 1):
+    for frame in sched.frames(frame0, work.frm2):
         fresh = state is None or frame != state.frame or state.restart == "i"
         if fresh:
-            time_now = frame / par.fps
+            time_now = sched.inj_time(frame)
             host, edges = load_frame(frame, True, None)
             arrays, w = transport.inject_photons(
                 host, work.r_inj, ph_weight, par.min_photons, par.max_photons,
-                par.spect, work.theta_min, work.theta_max, par.fps, rng,
+                par.spect, work.theta_min, work.theta_max,
+                sched.step(frame)[1], rng,
             )
             pending_stats = None
             n_pool_host = 0
@@ -465,8 +586,8 @@ def _run_rank_inner(
             time_now = state.time_now
             scatt_start = state.scatt_frame
 
-        for scatt_frame in range(scatt_start, last_frm + 1):
-            dt_frame = (scatt_frame + 1) / par.fps - time_now
+        for scatt_frame in sched.frames(scatt_start, last_frm):
+            dt_frame = sched.end_time(scatt_frame) - time_now
             if dt_frame <= 0:
                 continue
             # ONE stats fetch per frame: the decimation bounds were computed at
@@ -519,9 +640,16 @@ def _run_rank_inner(
 
                     nsh = mesh.devices.size
                     if ph.capacity % nsh:
-                        ph = transport.grow_photons(
-                            ph, pad_capacity(ph.capacity, nsh)
-                        )
+                        if t_rem0 is None:
+                            ph = transport.grow_photons(
+                                ph, pad_capacity(ph.capacity, nsh)
+                            )
+                        else:
+                            # t_rem0 must track capacity: transport_frame
+                            # masks active = alive & (t_rem > 0) elementwise
+                            ph, t_rem0 = transport.grow_photons(
+                                ph, pad_capacity(ph.capacity, nsh), t_rem=t_rem0
+                            )
                     return sharded_transport_frame(
                         cfg, mesh, shard_photons(ph, mesh),
                         replicate(frame_dev, mesh), replicate(index, mesh),
@@ -629,8 +757,11 @@ def _run_rank_inner(
                 )
 
             if write_outputs:
+                # next scatt frame per the schedule (reference: the RIKEN +10
+                # resume special case in readCheckpoint, mcrat_io.c:1044-1053)
                 st = CheckpointState(
-                    frame=frame, frm2=work.frm2, scatt_frame=scatt_frame + 1,
+                    frame=frame, frm2=work.frm2,
+                    scatt_frame=sched.next(scatt_frame),
                     time_now=time_now, restart="c",
                     weight_norm=meta.weight_norm, n_injected=meta.n_injected,
                 )
@@ -653,10 +784,11 @@ def _run_rank_inner(
         state = None
         if write_outputs and jax.process_index() == 0:
             persist.wait()
+            next_inj = sched.next(frame)
             save_checkpoint(
                 work.mc_dir, rank,
                 CheckpointState(
-                    frame=frame + 1, frm2=work.frm2, scatt_frame=frame + 1,
+                    frame=next_inj, frm2=work.frm2, scatt_frame=next_inj,
                     time_now=time_now, restart="i",
                 ),
             )

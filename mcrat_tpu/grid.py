@@ -259,6 +259,10 @@ class HydroFrameHost:
     B2: np.ndarray
     domain: np.ndarray
     nonthermal_dens: Optional[np.ndarray] = None
+    # jet axis of the theta cache: "z" (default) or "y" (RIKEN 3-D runs put
+    # the jet along +y and measure injection wedges as theta' = acos(y/r),
+    # reference: Src/mclib_riken.c:965); the reader that remaps theta sets it
+    jet_axis: str = "z"
 
     @property
     def num_elements(self) -> int:

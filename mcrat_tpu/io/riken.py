@@ -135,16 +135,22 @@ def riken_radial_segment(frame: int) -> int:
     raise ValueError(f"RIKEN frame {frame} beyond last remapping segment")
 
 
-def riken_radial_widths(r_in: float = 1e10, r_ref: float = 2e13) -> np.ndarray:
-    """Radial cell widths dr over all 3780 remapped radii from the grid
-    recurrence r_i = r_{i-1} (1 + (pi/560)/(1 + r_{i-1}/r_ref))
-    (mclib_riken.c:735-744; the reference leaves dr[3779] uninitialized — here
-    the recurrence is extended one extra step so the last width is defined)."""
+def riken_radial_edges(r_in: float = 1e10, r_ref: float = 2e13) -> np.ndarray:
+    """All 3781 radii of the remapped RIKEN 3-D grid from the recurrence
+    r_i = r_{i-1} (1 + (pi/560)/(1 + r_{i-1}/r_ref)) (mclib_riken.c:735-744).
+    Segment s's grid file holds these from global index 420*s."""
     edges = np.empty(N_RADII_3D + 1)
     edges[0] = r_in
     for i in range(1, N_RADII_3D + 1):
         edges[i] = edges[i - 1] * (1.0 + ANGULAR_RES_3D / (1.0 + edges[i - 1] / r_ref))
-    return np.diff(edges)
+    return edges
+
+
+def riken_radial_widths(r_in: float = 1e10, r_ref: float = 2e13) -> np.ndarray:
+    """Radial cell widths dr over all 3780 remapped radii
+    (mclib_riken.c:735-744; the reference leaves dr[3779] uninitialized — here
+    the recurrence is extended one extra step so the last width is defined)."""
+    return np.diff(riken_radial_edges(r_in, r_ref))
 
 
 def _read_riken_var_3d(path: str):
@@ -233,8 +239,11 @@ def read_riken_3d(
     )
     host = frame_from_numpy(cfg, arr)
     if jet_axis == "y":
-        # theta' about +y: y = r sin(theta) sin(phi)  (mclib_riken.c:965)
+        # theta' about +y: y = r sin(theta) sin(phi)  (mclib_riken.c:965);
+        # jet_axis tells inject_photons to measure its wedge from THIS cache
+        # instead of recomputing theta about z
         host.theta = np.arccos(np.clip(np.sin(TH) * np.sin(PHI), -1.0, 1.0))
+        host.jet_axis = "y"
     return host
 
 

@@ -41,6 +41,7 @@ from ..transport import (
     ChunkResult,
     FrameResult,
     Photons,
+    _compact_step_impl,
     frame_time,
     fused_transport_available,
     transport_frame,
@@ -182,7 +183,7 @@ def _sharded_chunk(
     index,
     xsec_table,
     t_rem,
-    keys,
+    key,
     stokes_on: bool,
     max_rounds: int,
     use_fused: bool,
@@ -198,8 +199,16 @@ def _sharded_chunk(
     synchronization, exactly like MCRaT ranks running ahead of each other
     between frame barriers.  n_scatt is psum-reduced, n_rounds is the pmax,
     all_done is the global AND.
+
+    ``key`` is ONE key; the per-shard split happens INSIDE this jit.  An
+    eager ``jax.random.split(sub, n_shards)`` before the call was the entire
+    single-device mesh tax (round-4 weak #1): +7.8 ms/chunk of host dispatch
+    on the critical path (tools/ablate_mesh.py — the shard_map itself
+    measured FREE, -0.5 ms vs the direct path, and the psum/pmax reductions
+    0.3 ms).
     """
     n_shards = mesh.devices.size
+    keys = jax.random.split(key, n_shards)
     pspec = _pspec_like(photons)
     xspec = _rep_spec(xsec_table) if has_xsec else P()
 
@@ -245,6 +254,31 @@ def _sharded_chunk(
         )
 
     return step(photons, frame, index, xsec_table, t_rem, keys)
+
+
+@functools.lru_cache(maxsize=None)
+def _compact_step_sharded(mesh: Mesh):
+    """transport_frame ``compact_fn`` whose outputs land mesh-sharded.
+
+    Re-jits the shared compaction body with ``out_shardings`` = P(batch) over
+    every output leaf, so the shrunken working buffers come out of the ONE
+    compaction executable already balanced across the mesh.  The eager
+    per-leaf ``device_put`` reshard this replaces cost ~6 ms per compaction
+    on the chunk loop's critical path (tools/ablate_mesh.py).
+    """
+    sh_batch = NamedSharding(mesh, P(BATCH_AXIS))
+    n_shards = mesh.devices.size
+    jitted = jax.jit(
+        _compact_step_impl, static_argnames=("new_cap",), out_shardings=sh_batch
+    )
+
+    def compact_fn(result_ph, slots, work_ph, t_rem, new_cap):
+        return jitted(
+            result_ph, slots, work_ph, t_rem,
+            new_cap=pad_capacity(new_cap, n_shards),
+        )
+
+    return compact_fn
 
 
 def sharded_transport_frame(
@@ -310,23 +344,23 @@ def sharded_transport_frame(
             use_fused = fused_transport_available(
                 cfg, SimpleNamespace(p=work_ph.p, capacity=shard_cap), xsec_table
             )
-        keys = jax.random.split(sub, n_shards)
         return _sharded_chunk(
-            cfg, mesh, work_ph, frame, index, xsec_arg, work_t, keys,
+            cfg, mesh, work_ph, frame, index, xsec_arg, work_t, sub,
             stokes_on=stokes_on, max_rounds=chunk_rounds, use_fused=use_fused,
             interpret=interpret, s_rows=s_rows, inner_rounds=inner_rounds,
             has_xsec=has_xsec,
         )
 
-    def reshard(ph, t):
-        return (
-            shard_photons(ph, mesh),
-            jax.device_put(t, NamedSharding(mesh, P(BATCH_AXIS))),
-        )
+    # Compaction emits already-mesh-sharded buffers via out_shardings — the
+    # eager per-leaf device_put reshard it replaces cost ~6 ms per compaction
+    # (tools/ablate_mesh.py) and, worse, was a host round-trip on the chunk
+    # loop's critical path.
+    compact_fn = _compact_step_sharded(mesh)
 
     return transport_frame(
         cfg, photons, frame, index, dt_max, key,
         chunk_rounds=chunk_rounds, progress=progress, compact=compact,
         min_compact_capacity=max(1024, n_shards * 128),
-        step_fn=step_fn, reshard=reshard, t_rem0=t_rem0, cs_limit=cs_limit,
+        step_fn=step_fn, compact_fn=compact_fn, t_rem0=t_rem0,
+        cs_limit=cs_limit,
     )

@@ -109,6 +109,18 @@ def _injection_shell_mask(host: HydroFrameHost, rmin, rmax, theta_min, theta_max
     with |coords| in 3-D.
     """
     cfg = host.cfg
+    if cfg.dims is Dims.THREE and getattr(host, "jet_axis", "z") != "z":
+        # Off-z jet axis (RIKEN 3-D): the wedge is measured from the reader's
+        # theta' cache at cell CENTERS, exactly like photonInjection3D
+        # (Src/mclib_riken.c:965-1014 — acos(y/r) per cell, strict "< max,
+        # >= min", and no corner extents).  The radial shell test stays
+        # corner-extended in r (axis-independent).
+        r_lo = host.r - host.dr0 / 2
+        r_hi = host.r + host.dr0 / 2
+        return (
+            (rmin <= r_hi) & (r_lo <= rmax)
+            & (host.theta >= theta_min) & (host.theta < theta_max)
+        )
     if cfg.dims is Dims.THREE:
         a0, a1, a2 = np.abs(host.r0), np.abs(host.r1), np.abs(host.r2)
         r_in, t_in = geo.hydro_to_spherical(
@@ -1084,8 +1096,7 @@ def _scatter_photons(dst: Photons, slots, src: Photons) -> Photons:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("new_cap",))
-def _compact_step(result_ph: Photons, slots, work_ph: Photons, t_rem, new_cap: int):
+def _compact_step_impl(result_ph: Photons, slots, work_ph: Photons, t_rem, new_cap: int):
     """One compaction: write the working set back, gather actives into a
     ``new_cap`` buffer — entirely on device.
 
@@ -1095,6 +1106,10 @@ def _compact_step(result_ph: Photons, slots, work_ph: Photons, t_rem, new_cap: i
     ``(result_ph, sub_ph, sub_t, sub_slots)`` where ``sub_slots`` maps working
     lanes to original slots, with pads set to ``result_ph.capacity`` so the
     write-back scatter drops them.
+
+    Kept un-jitted so mesh callers can re-jit it with ``out_shardings`` (the
+    compacted buffers then land already sharded over the mesh, replacing an
+    eager ~6 ms/compaction device_put reshard — tools/ablate_mesh.py).
     """
     result_ph = _scatter_photons(result_ph, slots, work_ph)
     active = work_ph.alive & (t_rem > 0)
@@ -1115,6 +1130,11 @@ def _compact_step(result_ph: Photons, slots, work_ph: Photons, t_rem, new_cap: i
     return result_ph, sub, sub_t, sub_slots
 
 
+_compact_step = functools.partial(jax.jit, static_argnames=("new_cap",))(
+    _compact_step_impl
+)
+
+
 def transport_frame(
     cfg: Config,
     photons: Photons,
@@ -1130,7 +1150,7 @@ def transport_frame(
     min_compact_capacity: int = 1024,
     fused=None,
     step_fn=None,
-    reshard=None,
+    compact_fn=None,
     t_rem0=None,
     cs_limit: Optional[int] = None,
 ) -> FrameResult:
@@ -1163,9 +1183,11 @@ def transport_frame(
 
     ``step_fn(photons, t_rem, key) -> ChunkResult`` overrides the device step;
     parallel.mesh uses it to run the same chunk/compaction protocol with every
-    step sharded over a device mesh.  ``reshard(photons, t_rem)`` is applied
-    after each compaction gather so a mesh caller can rebalance the shrunken
-    buffer across its devices.
+    step sharded over a device mesh.  ``compact_fn`` overrides the compaction
+    executable (same signature/returns as ``_compact_step``; it may round
+    ``new_cap`` up) — mesh callers use a re-jit with ``out_shardings`` so the
+    shrunken buffers land balanced across their devices with no separate
+    reshard step.
     """
     t_rem = frame_time(photons, dt_max) if t_rem0 is None else t_rem0
     n_scatt_total = 0
@@ -1233,11 +1255,9 @@ def transport_frame(
                     result_ph = work_ph
                     slots = jnp.arange(work_ph.capacity, dtype=jnp.int32)
                 new_cap = max(min_compact_capacity, 1 << int(np.ceil(np.log2(max(n_active, 1)))))
-                result_ph, work_ph, work_t, slots = _compact_step(
+                result_ph, work_ph, work_t, slots = (compact_fn or _compact_step)(
                     result_ph, slots, work_ph, work_t, new_cap
                 )
-                if reshard is not None:
-                    work_ph, work_t = reshard(work_ph, work_t)
 
     # final write-back (photon state + remaining frame time)
     if slots is None:
@@ -1427,9 +1447,18 @@ def extract_cs_subset(photons: Photons, n_out: int, t_rem=None):
         if t_rem is not None
         else jnp.zeros((n_out,), photons.weight.dtype)
     )
+    # Null ONLY the lanes actually gathered (scatter-with-drop at the valid
+    # indices).  The caller sizes n_out from a count that may undercount the
+    # full population's CS lanes (frame_stats counts the compacted working
+    # set; alive CS photons whose frame time expired are excluded) — nulling
+    # every is_cs lane here would zero-weight the overflow lanes without
+    # merging them.  Overflow lanes survive untouched to the next trigger.
+    drop_at = jnp.where(valid, safe, photons.capacity)
     nulled = photons.replace(
-        weight=jnp.where(is_cs, 0.0, photons.weight),
-        ptype=jnp.where(is_cs, int(PhotonType.NULL), photons.ptype),
+        weight=photons.weight.at[drop_at].set(0.0, mode="drop"),
+        ptype=photons.ptype.at[drop_at].set(
+            jnp.asarray(int(PhotonType.NULL), photons.ptype.dtype), mode="drop"
+        ),
     )
     return nulled, sub, sub_t
 

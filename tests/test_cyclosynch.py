@@ -216,6 +216,37 @@ def test_midframe_rebin_trigger(host):
     assert int(jax.device_get(transport._count_cs(ph2))) == 0
 
 
+def test_extract_cs_subset_overflow_preserves_weight():
+    """When the population holds MORE CS lanes than the extraction buffer
+    (the mid-frame trigger sizes it from the COMPACTED count, which excludes
+    alive CS photons whose frame time expired), the overflow lanes must
+    survive untouched to the next trigger — not be zero-weighted without
+    merging (round-4 advisor high finding)."""
+    import jax
+
+    n, n_out = 64, 16  # 48 CS lanes overflow a 16-lane buffer
+    e = np.full(n, 1e-6)
+    arrays = dict(
+        p=np.stack([e, e, np.zeros(n), np.zeros(n)], axis=-1),
+        comv_p=np.stack([e, e, np.zeros(n), np.zeros(n)], axis=-1),
+        pos=np.tile([1e12, 0.0, 2.7e12], (n, 1)),
+        s=np.tile([1.0, 0.0, 0.0, 0.0], (n, 1)),
+        weight=np.arange(1.0, n + 1),
+        num_scatt=np.ones(n),
+        cell=np.zeros(n, np.int32),
+        ptype=np.full(n, int(PhotonType.COMPTONIZED), np.int32),
+    )
+    ph, _ = transport.photons_from_arrays(arrays, capacity=n, dtype=jnp.float64)
+    w_total = float(jnp.sum(ph.weight))
+    nulled, sub, _ = transport.extract_cs_subset(ph, n_out)
+    w_sub = float(jnp.sum(sub.weight))
+    w_left = float(jnp.sum(nulled.weight))
+    # every unit of weight is either in the subset or still in the population
+    np.testing.assert_allclose(w_sub + w_left, w_total, rtol=1e-12)
+    # the overflow lanes are still live CS photons for the next trigger
+    assert int(jax.device_get(transport._count_cs(nulled))) == n - n_out
+
+
 def test_driver_midframe_rebin_bounds_cs_population(tmp_path):
     """A CS-heavy driver run with a tiny rebin cap completes with the
     COMPTONIZED population bounded (merged mid-frame, not accumulated)."""

@@ -239,11 +239,12 @@ def test_initialize_mode_cleans_stale_output(tmp_path):
     paths = HydroPaths(filepath=str(tmp_path) + "/", mc_path="MC/")
     factory = default_synthetic_factory(CFG, par, nr=128, ntheta=24)
     # rank 1 is NOT its angle dir's designated cleaner (rank 0 is), so the
-    # re-run exercises the marker-wait fallback: after wait_s with no cleaner
-    # marker it removes its own files + shared merged outputs
+    # re-run exercises the ack-wait fallback: after wait_s with no cleaner
+    # ack it removes its own files + shared merged outputs
     work = run_rank(
         CFG, par, paths, rank=1, num_ranks=4, chunk_rounds=0,
         synthetic_frame_factory=factory, progress=False,
+        init_clean_wait_s=0.5,
     )
     proc = os.path.join(work.mc_dir, "mc_proc_1.h5")
     with h5py.File(proc) as f:
@@ -305,6 +306,51 @@ def test_reinitialize_with_fewer_ranks_sweeps_all(tmp_path):
         assert data["P0"].shape[0] == n, (frame, data["P0"].shape[0], n)
 
 
+def test_initialize_handshake_slow_cleaner_race(tmp_path):
+    """A cleaner that starts LATE must still sweep before any waiting rank
+    writes output: the ready/ack handshake replaces the old marker-mtime
+    heuristic, which could sweep a fast rank's fresh files (reference
+    semantics: MPI barrier, Src/mcrat.c:507-549)."""
+    import threading
+    import time
+
+    from mcrat_tpu.driver import clean_initialize_dir
+
+    mc_dir = str(tmp_path)
+    stale = [os.path.join(mc_dir, f) for f in
+             ("mc_proc_0.h5", "mc_proc_1.h5", "mcdata_11.h5")]
+    for p in stale:
+        with open(p, "w") as f:
+            f.write("stale")
+
+    results = {}
+
+    def non_cleaner():
+        t0 = time.monotonic()
+        results["rm"] = clean_initialize_dir(
+            mc_dir, 1, cleaner=False, wait_s=10.0
+        )
+        results["dt"] = time.monotonic() - t0
+        # the rank writes its fresh output the instant the ack lands
+        with open(os.path.join(mc_dir, "mc_proc_1.h5"), "w") as f:
+            f.write("fresh")
+
+    t = threading.Thread(target=non_cleaner)
+    t.start()
+    time.sleep(1.0)  # cleaner is slow: rank 1 is already waiting
+    n = clean_initialize_dir(
+        mc_dir, 0, cleaner=True, wait_s=10.0, expected_ranks=[0, 1]
+    )
+    t.join(timeout=15)
+    assert not t.is_alive()
+    assert n == 3  # the cleaner swept the whole stale set
+    assert results["rm"] == 0  # the waiter deleted nothing itself
+    assert results["dt"] < 8.0  # ack path, not the timeout fallback
+    # the waiter's post-ack output survived (written after the sweep)
+    with open(os.path.join(mc_dir, "mc_proc_1.h5")) as f:
+        assert f.read() == "fresh"
+
+
 def test_scan_checkpoints_discovers_old_backup(tmp_path):
     """A crash between save_checkpoint's two renames leaves only the .old
     backup; elastic restart discovery must still find the rank (advisor
@@ -359,3 +405,125 @@ def test_run_rank_with_cyclosynchrotron(tmp_path):
     types = set(data["PT"].tolist())
     assert b"p" not in types
     assert (data["PW"] > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# RIKEN 3-D: frame schedule + end-to-end driver run (VERDICT r4 missing #1)
+
+
+def test_frame_schedule_riken3d():
+    """The RIKEN 3-D schedule: +1 at base fps below frame 3000, +10 at 1 fps
+    beyond (reference: Src/mcrat.c:551-562,612-624,667-679)."""
+    from mcrat_tpu.driver import FrameSchedule
+
+    s = FrameSchedule(base_fps=5.0, riken3d=True)
+    assert list(s.frames(2998, 3020)) == [2998, 2999, 3000, 3010, 3020]
+    assert s.step(2999) == (1, 5.0)
+    assert s.step(3000) == (10, 1.0)
+    assert s.next(3005) == 3015  # resume mid-schedule still steps by 10
+    # time accumulates dt = 1/fps per visited frame, continuous at 3000
+    assert s.end_time(2999) == pytest.approx(600.0)
+    assert s.end_time(3000) == pytest.approx(601.0)
+    assert s.end_time(3010) == pytest.approx(602.0)
+    # injection time uses the fps in effect AT the frame (mcrat.c:667-679)
+    assert s.inj_time(2999) == pytest.approx(599.8)
+    assert s.inj_time(3000) == pytest.approx(3000.0)
+    # every other format is uniform
+    u = FrameSchedule(base_fps=5.0, riken3d=False)
+    assert list(u.frames(2999, 3002)) == [2999, 3000, 3001, 3002]
+    assert u.end_time(3000) == pytest.approx(3001 / 5.0)
+
+
+def _write_riken_var(path, idx_1based, data_f32):
+    with open(path, "wb") as f:
+        np.float32(0.0).tofile(f)
+        np.asarray(idx_1based, dtype=np.int32).tofile(f)
+        np.zeros(2, dtype=np.float32).tofile(f)
+        np.asarray(data_f32, dtype=np.float32).tofile(f)
+
+
+def test_riken_3d_driver_end_to_end(tmp_path):
+    """A 2-injection-window RIKEN 3-D run crossing frame 3000: the driver must
+    follow the special frame schedule (files 2999, 3000, 3010 — never
+    3001..3009) and inject a wedge about the +y jet axis (theta' = acos(y/r),
+    reference: Src/mclib_riken.c:945-1014), not about z."""
+    import h5py
+
+    from mcrat_tpu.config import HydroSim
+    from mcrat_tpu.io import riken
+
+    prefix = str(tmp_path) + "/"
+    nr, nt, nphi = 48, 12, 12
+    seg = riken.riken_radial_segment(2999)
+    assert seg == 2
+    edges = riken.riken_radial_edges()
+    r_all = edges[seg * riken.REMAP_STRIDE_3D:][:nr]
+    np.savetxt(tmp_path / f"grid0{seg}-x1.data", r_all[None], delimiter=", ")
+    # theta/phi grids centered on pi/2 at the RIKEN angular resolution, so the
+    # +y direction (theta=phi=pi/2) sits mid-grid
+    ang = np.pi / 2 + (np.arange(nt) - nt / 2 + 0.5) * riken.ANGULAR_RES_3D
+    np.savetxt(tmp_path / "grid-x2.data", ang[None], delimiter=", ")
+    np.savetxt(tmp_path / "grid-x3.data", ang[None], delimiter=", ")
+
+    n = nphi * nt * nr
+    idx = [1, nphi, 1, nt, 1, nr]
+    for frame in (2999, 3000, 3010):
+        for var, val in ((1, 1.67e-10), (2, 0.9), (3, 0.0), (4, 0.0),
+                         (8, 2.8e-8)):
+            _write_riken_var(
+                tmp_path / f"u0{var}-{frame:05d}small.data", idx,
+                np.full(n, val, np.float32),
+            )
+
+    cfg = Config(
+        sim_switch=HydroSim.RIKEN, dims=Dims.THREE, geometry=Geometry.SPHERICAL,
+        simulation_type=SimType.SCIENCE, dtype="float64",
+    )
+    wedge_deg = 1.5  # 0.0262 rad — interior to the grid's ~0.047 rad span
+    par = McPar(
+        fps=5.0, last_frame=3010,
+        r0_domain=(float(r_all[0]), float(r_all[-1])),
+        r1_domain=(0.0, np.pi), r2_domain=(0.0, 2 * np.pi),
+        theta_min_deg=0.0, theta_max_deg=wedge_deg, n_theta_bins=1,
+        frm0=(2999,), frm2=(2999,), inj_radius=(float(r_all[20]),),
+        spect=Spectrum.BLACKBODY, min_photons=500, max_photons=2000,
+        restart="i",
+    )
+    paths = HydroPaths(filepath=prefix, mc_path="MC/")
+    work = run_rank(
+        cfg, par, paths, rank=0, num_ranks=1, chunk_rounds=0,
+        synthetic_frame_factory=None, progress=False,
+    )
+    proc = os.path.join(work.mc_dir, "mc_proc_0.h5")
+    with h5py.File(proc) as f:
+        frames = sorted(int(k) for k in f.keys())
+        pos = {
+            fr: np.stack([np.asarray(f[str(fr)][k]) for k in ("R0", "R1", "R2")],
+                         axis=-1)
+            for fr in frames
+        }
+        pw = {fr: np.asarray(f[str(fr)]["PW"]) for fr in frames}
+
+    # the schedule: dumps exist for exactly 2999, 3000 and 3010
+    assert frames == [2999, 3000, 3010], frames
+
+    # the injection wedge is about +y, not z
+    xyz = pos[2999]
+    r = np.linalg.norm(xyz, axis=1)
+    theta_y = np.arccos(np.clip(xyz[:, 1] / r, -1, 1))
+    theta_z = np.arccos(np.clip(xyz[:, 2] / r, -1, 1))
+    # tight wedge about y (0.0262 rad + 0.2 s of transport spread)
+    assert np.quantile(theta_y, 0.99) < 0.035, np.quantile(theta_y, 0.99)
+    # nowhere near a z-axis wedge: every photon sits by the equator
+    assert theta_z.min() > 1.0, theta_z.min()
+
+    # radii start in the injection shell and advance ~c dt per scheduled step
+    # (0.2 s to end-of-2999, then 1 s steps)
+    assert abs(np.median(r) - par.inj_radius[0]) < 4 * riken.C_LIGHT / par.fps
+    r2 = np.linalg.norm(pos[3010], axis=1)
+    assert np.median(r2) > np.median(r) + 0.8 * riken.C_LIGHT
+
+    # no photon lost or double-counted across the run
+    w0 = pw[2999].sum()
+    for fr in frames[1:]:
+        np.testing.assert_allclose(pw[fr].sum(), w0, rtol=1e-9)
