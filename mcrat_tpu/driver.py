@@ -368,6 +368,19 @@ class _PersistWriter:
 
     def submit_frame(self, cfg, mc_dir, rank, st, sub_ph, meta, scatt_frame):
         self.wait()  # at most one frame in flight; surfaces prior errors
+        import jax.numpy as jnp
+
+        # Drop planes the run's config never outputs BEFORE the device->host
+        # copy: with COMV off, the comoving momenta are pure transfer weight
+        # (the engine recomputes them from the lab p every round; neither the
+        # dump nor a resume needs them — the reference's COMV_SWITCH default
+        # is OFF, Src/mcrat.h:391-402); likewise the Stokes planes with
+        # polarization off.  Together 8 of ~19 planes, and the persistence
+        # transfer is the cyclo-synchrotron driver's measured wall-time floor.
+        if not cfg.comv:
+            sub_ph = sub_ph.replace(comv_p=jnp.zeros((0, 4), sub_ph.p.dtype))
+        if not cfg.stokes:
+            sub_ph = sub_ph.replace(s=jnp.zeros((0, 4), sub_ph.p.dtype))
         multiproc = jax.process_count() > 1
         if multiproc:
             # the cross-process gather is a COLLECTIVE: it must run on the

@@ -75,7 +75,13 @@ def save_checkpoint(
         # ONE batched device fetch (per-leaf np.asarray is a sequential
         # blocking transfer each — 8 round-trips per checkpoint), stored in
         # the run's native dtype (upcasting f32 state to f64 on disk doubles
-        # the write for no information).
+        # the write for no information).  comv_p / s may arrive as EMPTY
+        # (0, 4) placeholders when the run's config does not need them
+        # persisted (driver._PersistWriter drops them from the device fetch:
+        # the engine recomputes comoving momenta from the lab p every round,
+        # transport.py step 2, so with COMV output off they are pure transfer
+        # weight — the reference's COMV_SWITCH default is OFF too,
+        # Src/mcrat.h:391-402).
         p, comv_p, pos, s, weight, num_scatt, cell, ptype = jax.device_get([
             photons.p, photons.comv_p, photons.pos, photons.s,
             photons.weight, photons.num_scatt, photons.cell, photons.ptype,
@@ -122,11 +128,22 @@ def load_checkpoint(mc_dir: str, rank: int, dtype="float64"):
         photons = None
         if "p" in z.files:
             n = len(z["weight"])
+            comv_p = z["comv_p"]
+            if comv_p.shape[0] != n:
+                # dropped from the checkpoint (COMV off): the engine
+                # recomputes comoving momenta from the lab p on the first
+                # round after resume, and no COMV output is being written
+                comv_p = np.zeros((n, 4), comv_p.dtype)
+            s = z["s"]
+            if s.shape[0] != n:
+                # dropped (Stokes off): restore the unpolarized init
+                s = np.zeros((n, 4), s.dtype)
+                s[:, 0] = 1.0
             photons = Photons(
                 p=jnp.asarray(z["p"], dtype=dtype),
-                comv_p=jnp.asarray(z["comv_p"], dtype=dtype),
+                comv_p=jnp.asarray(comv_p, dtype=dtype),
                 pos=jnp.asarray(z["pos"], dtype=dtype),
-                s=jnp.asarray(z["s"], dtype=dtype),
+                s=jnp.asarray(s, dtype=dtype),
                 weight=jnp.asarray(z["weight"], dtype=dtype),
                 num_scatt=jnp.asarray(z["num_scatt"], dtype=dtype),
                 cell=jnp.asarray(z["cell"], dtype=jnp.int32),

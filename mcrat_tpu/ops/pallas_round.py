@@ -193,14 +193,11 @@ def _rotate_basis(vox, voy, voz, rox, roy, roz, vnx, vny, vnz, rnx, rny, rnz, q,
     return c2 * q - s2 * u, s2 * q + c2 * u
 
 
-def _stokes_rotation(bx, by, bz, vx, vy, vz, wx, wy, wz, q, u):
-    """Component form of ops.stokes.stokes_rotation: z-hat -> boost basis in
-    the original frame (photon dir v), boost -> z-hat in the new frame (dir w).
-    """
-    # z-hat cross products inline: z x v = (-vy, vx, 0)
-    q, u = _rotate_basis(vx, vy, vz, 0.0, 0.0, 1.0, vx, vy, vz, bx, by, bz, q, u)
-    q, u = _rotate_basis(wx, wy, wz, bx, by, bz, wx, wy, wz, 0.0, 0.0, 1.0, q, u)
-    return q, u
+# NB: the z-basis round-trip helper this file used to carry
+# (_stokes_rotation = rotate(v: z->boost ref) + rotate(w: boost ref -> z))
+# was dissolved into the collapsed chain in _single_scatter / round_body —
+# consecutive rotations about one photon direction compose additively, so
+# the z-hat waypoints between boosts were pure cost (round-4 weak #6).
 
 
 # theta = kT/(m_e c^2) at the reference's thermal-sampler switch temperature
@@ -486,19 +483,36 @@ def _sample_kn_angles(rng, shape, e0, q, u, stokes_on: bool, kn_iters: int):
 
 
 def _single_scatter(rng, shape, g0, e1x, e1y, e1z, c0, c1, c2, c3, q, u, v,
-                    stokes_on: bool, kn_iters: int):
+                    stokes_on: bool, kn_iters: int, fx=None, fy=None, fz=None):
     """Component form of ops.compton.single_scatter.
 
     (g0, e1*) is the electron four-momentum / m_e c; (c0..c3) the comoving
     photon four-momentum; (q, u, v) its Stokes vector.  Returns
     (scattered, new comoving p, new Stokes).
+
+    Collapsed basis-rotation chain (round-4 weak #6 attempt): with the fluid
+    boost direction (fx, fy, fz) given, q/u arrive in the FLUID-boost basis
+    of c (the caller rotated lab z-basis(p) -> bf-basis(p) once) and leave in
+    the (-electron-boost)-basis of the outgoing comoving direction o (the
+    caller composes -be -> -bf -> z on the way back to the lab).  Same total
+    rotation angle as the z-basis round-trips it replaces — 2-D (q, u)
+    rotations about one photon direction compose additively — but 3 of the
+    10 per-round _rotate_basis calls disappear.  The phi sampler's rest-frame
+    z-ref convention (the alignment rotations are built about the z axis,
+    matching the reference's kleinNishinaScatter phi measurement,
+    Src/mcrat_scattering.c:544-584) pins the [be -> z about r] rotation, so
+    the chain cannot collapse further.
     """
     inv_g = 1.0 / g0
     bx, by, bz = e1x * inv_g, e1y * inv_g, e1z * inv_g
     # boost into the electron rest frame
     r0, r1, r2, r3 = _boost(bx, by, bz, c0, c1, c2, c3)
     if stokes_on:
-        q, u = _stokes_rotation(bx, by, bz, c1, c2, c3, r1, r2, r3, q, u)
+        # (bf -> be about c), transported by the boost, then (be -> z about
+        # r) for the phi sampler — replaces the (bf -> z) + (z -> be) + full
+        # _stokes_rotation chain
+        q, u = _rotate_basis(c1, c2, c3, fx, fy, fz, c1, c2, c3, bx, by, bz, q, u)
+        q, u = _rotate_basis(r1, r2, r3, bx, by, bz, r1, r2, r3, 0.0, 0.0, 1.0, q, u)
 
     e0 = r0
     # alignment rotation cosines/sines from components
@@ -546,14 +560,14 @@ def _single_scatter(rng, shape, g0, e1x, e1y, e1z, c0, c1, c2, c3, q, u, v,
         fv = m33 * v
         inv_i = 1.0 / fi
         q2, u2, v2 = fq * inv_i, fu * inv_i, fv * inv_i
-        q2, u2 = _rotate_basis(nx, ny, nz, r1, r2, r3, nx, ny, nz, 0.0, 0.0, 1.0, q2, u2)
+        # (scattering plane -> -be about n): the -be basis rides the de-boost
+        # to o; the caller finishes -be -> -bf -> z (collapsed chain)
+        q2, u2 = _rotate_basis(nx, ny, nz, r1, r2, r3, nx, ny, nz, -bx, -by, -bz, q2, u2)
     else:
         q2, u2, v2 = q, u, v
 
     # de-boost to the comoving frame
     o0, o1, o2, o3 = _boost(-bx, -by, -bz, e1, nx, ny, nz)
-    if stokes_on:
-        q2, u2 = _stokes_rotation(-bx, -by, -bz, nx, ny, nz, o1, o2, o3, q2, u2)
     return scattered, o0, o1, o2, o3, q2, u2, v2
 
 
@@ -993,7 +1007,12 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
 
             # 5. scatter attempt (null collision on KN reject)
             if stokes_on:
-                qc, uc = _stokes_rotation(bx, by, bz, p1, p2, p3, c1, c2, c3, q, u)
+                # lab z-basis(p) -> fluid-boost basis(p); the boost transports
+                # it to bf-basis(c), where _single_scatter picks up the
+                # collapsed rotation chain
+                qc, uc = _rotate_basis(
+                    p1, p2, p3, 0.0, 0.0, 1.0, p1, p2, p3, bx, by, bz, q, u
+                )
             else:
                 qc, uc = q, u
             g_e, gb_e = _thermal_gamma_beta(rng, shape, temp, el_iters)
@@ -1017,12 +1036,22 @@ def _make_kernel(cfg: Config, stokes_on: bool, inner_rounds: int,
             g0, ex, ey, ez = _electron_from_gamma(rng, g_e, gb_e, c0, c1, c2, c3)
             sc, o0, o1, o2, o3, q2, u2, v2 = _single_scatter(
                 rng, shape, g0, ex, ey, ez, c0, c1, c2, c3, qc, uc, v,
-                stokes_on, kn_iters,
+                stokes_on, kn_iters, fx=bx, fy=by, fz=bz,
             )
             scattered = will & sc
             l0, l1, l2, l3 = _boost(-bx, -by, -bz, o0, o1, o2, o3)
             if stokes_on:
-                ql, ul = _stokes_rotation(-bx, -by, -bz, o1, o2, o3, l1, l2, l3, q2, u2)
+                # q2/u2 arrive in the (-be)-basis of o: rotate (-be -> -bf
+                # about o), ride the fluid de-boost to l, finish at the lab
+                # z-basis — two rotations where the round-trip chain paid four
+                inv_ge = 1.0 / g0
+                ql, ul = _rotate_basis(
+                    o1, o2, o3, -ex * inv_ge, -ey * inv_ge, -ez * inv_ge,
+                    o1, o2, o3, -bx, -by, -bz, q2, u2,
+                )
+                ql, ul = _rotate_basis(
+                    l1, l2, l3, -bx, -by, -bz, l1, l2, l3, 0.0, 0.0, 1.0, ql, ul
+                )
             else:
                 ql, ul = q2, u2
             p0 = jnp.where(scattered, l0, p0)
@@ -1107,7 +1136,10 @@ def fused_rounds(
     stokes_on: bool = True,
     inner_rounds: int = 4,
     el_iters: int = 12,
-    kn_iters: int = 16,
+    # 12 KN rejection trials keep the no-acceptance residual under 2e-6 of
+    # lanes (measured, BASELINE.md r4) and save ~0.5 ms/invocation vs the
+    # conservative 16 (round-4 weak #6 lever)
+    kn_iters: int = 12,
     s_rows: int = 128,
     interpret: bool = False,
     nonthermal: bool = False,

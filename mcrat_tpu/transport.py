@@ -783,11 +783,14 @@ def transport_rounds_fused(
             # operand is a fusion product loses the vectorized gather path
             # (see hot_xsec.HotCrossSectionTable.thermal_quad)
             gsrc = jax.lax.optimization_barrier(
-                jnp.concatenate([base_mat, ch], axis=0)
+                _pad_gather_band(jnp.concatenate([base_mat, ch], axis=0))
             )
         else:
             # the ultra slice/stack must also be materialized for the same reason
-            gsrc = jax.lax.optimization_barrier(base_mat) if ultra else base_mat
+            gsrc = (
+                jax.lax.optimization_barrier(_pad_gather_band(base_mat))
+                if ultra else _pad_gather_band(base_mat)
+            )
             cheb_base = 0
         n_prow = gsrc.shape[0]
     if ultra:
@@ -1079,6 +1082,24 @@ def frame_time(photons: Photons, dt_max) -> jax.Array:
     """Initial per-photon frame time window."""
     dtype = photons.p.dtype
     return jnp.where(photons.alive, jnp.asarray(dt_max, dtype), 0.0)
+
+
+def _pad_gather_band(mat):
+    """Dodge the TPU column-gather slow band by padding the table.
+
+    Measured (tools/microbench_gather3d.py, v5e, 1M indices, w-independent
+    and locality-independent): a (w, NC) axis-1 gather costs ~4.1 ms for
+    NC <= ~197k, ~13 ms for NC in [~200k, 524k), and ~6.8 ms at NC >= 2^19 —
+    XLA switches gather strategies on the gathered-axis size, and the middle
+    regime is ~3x slower than EITHER neighbor.  The 3-D bench grid (64^3 =
+    262144 cells) sits exactly in the band; padding the cell table to 2^19
+    columns costs ~5 MB of HBM and halves the dominant 3-D glue gather.
+    Pad values are never addressed (cell indices stay < NC).
+    """
+    nc = mat.shape[1]
+    if 196_608 < nc < 524_288:
+        return jnp.pad(mat, ((0, 0), (0, 524_288 - nc)))
+    return mat
 
 
 def _gather_photons(photons: Photons, idx) -> Photons:

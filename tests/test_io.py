@@ -301,6 +301,19 @@ def test_checkpoint_roundtrip_and_scan(tmp_path):
     # COMPTONIZED photons relabel to UNABSORBED_CS on save (mcrat_io.c:896-901)
     assert (np.asarray(ph2.ptype) == int(PhotonType.UNABSORBED_CS)).all()
 
+    # planes dropped from the persistence fetch (COMV/Stokes off — the
+    # reference's defaults, Src/mcrat.h:391-402) restore as recomputable
+    # zeros / the unpolarized init instead of crashing the resume
+    ph_slim = ph.replace(
+        comv_p=jnp.zeros((0, 4), ph.p.dtype), s=jnp.zeros((0, 4), ph.p.dtype)
+    )
+    ckpt.save_checkpoint(str(tmp_path), 5, st, ph_slim)
+    st3, ph3 = ckpt.load_checkpoint(str(tmp_path), 5)
+    assert st3 == st
+    assert ph3.comv_p.shape == (n, 4) and not np.asarray(ph3.comv_p).any()
+    np.testing.assert_allclose(np.asarray(ph3.s[:, 0]), 1.0)
+    np.testing.assert_allclose(np.asarray(ph3.p), np.asarray(ph.p))
+
     # a finished rank
     done = ckpt.CheckpointState(
         frame=206, frm2=205, scatt_frame=901, time_now=90.0, restart="c",
