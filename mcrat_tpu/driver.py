@@ -128,16 +128,24 @@ class FrameSchedule:
         time_now = frame / fps with the fps in effect AT that frame)."""
         return frame / self.step(frame)[1]
 
-    def end_time(self, frame: int) -> float:
-        """Absolute time at the END of scattering frame ``frame``.
+    def end_time(self, frame: int, inj_frame: int = 0) -> float:
+        """Time at the END of scattering frame ``frame``.
 
         Uniform formats: (frame+1)/fps.  RIKEN 3-D accumulates dt = 1/fps
-        per visited frame (1/base below 3000, 1 s per 10-frame step above),
-        anchored so the two branches agree at the 3000 boundary.
+        per visited frame (1/base below 3000, 1 s per 10-frame step above).
+        The reference's clock is PATH-dependent there — time_now is seeded
+        as inj_frame/fps(inj_frame) and then advanced per visited frame
+        (Src/mcrat.c:667-679) — so an injection at or beyond frame 3000
+        anchors at inj_frame seconds, not on the sub-3000 timeline;
+        ``inj_frame`` disambiguates (without it, a >=3000 injection would
+        make every dt negative and the run a silent no-op).
         """
         if not self.riken3d or frame < self._RIKEN_SWITCH_FRAME:
             return (frame + 1) / self.base_fps
         k = (frame - self._RIKEN_SWITCH_FRAME) // self._RIKEN_INCREMENT
+        if inj_frame >= self._RIKEN_SWITCH_FRAME:
+            k0 = (inj_frame - self._RIKEN_SWITCH_FRAME) // self._RIKEN_INCREMENT
+            return float(inj_frame) + (k - k0 + 1) * 1.0
         return self._RIKEN_SWITCH_FRAME / self.base_fps + (k + 1) * 1.0
 
 
@@ -600,7 +608,7 @@ def _run_rank_inner(
             scatt_start = state.scatt_frame
 
         for scatt_frame in sched.frames(scatt_start, last_frm):
-            dt_frame = sched.end_time(scatt_frame) - time_now
+            dt_frame = sched.end_time(scatt_frame, inj_frame=frame) - time_now
             if dt_frame <= 0:
                 continue
             # ONE stats fetch per frame: the decimation bounds were computed at

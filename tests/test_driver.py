@@ -428,6 +428,11 @@ def test_frame_schedule_riken3d():
     # injection time uses the fps in effect AT the frame (mcrat.c:667-679)
     assert s.inj_time(2999) == pytest.approx(599.8)
     assert s.inj_time(3000) == pytest.approx(3000.0)
+    # a >= 3000 injection anchors the clock at inj_frame seconds (the
+    # reference's path-dependent time_now); without the anchor every dt
+    # would be negative and the run a silent no-op
+    assert s.end_time(3000, inj_frame=3000) == pytest.approx(3001.0)
+    assert s.end_time(3020, inj_frame=3010) == pytest.approx(3012.0)
     # every other format is uniform
     u = FrameSchedule(base_fps=5.0, riken3d=False)
     assert list(u.frames(2999, 3002)) == [2999, 3000, 3001, 3002]
