@@ -350,6 +350,8 @@ def main():
         )
 
         def one_run():
+            import shutil
+
             tmp_e = tempfile.mkdtemp()
             paths_e = HydroPaths(filepath=tmp_e + "/", mc_path="MC/")
             t0 = time.perf_counter()
@@ -363,6 +365,8 @@ def main():
                 last = str(max(int(k) for k in f.keys()))
                 total_ns = float(np.sum(f[last]["NS"]))
                 n_ph = int(f[last]["NS"].shape[0])
+            # each run leaves ~400 MB of dumps; a bench day fills /tmp
+            shutil.rmtree(tmp_e, ignore_errors=True)
             return el, total_ns, n_ph
 
         one_run()  # warm-up compiles every capacity/compaction shape
@@ -423,6 +427,8 @@ def main():
         import h5py
 
         def one_run():
+            import shutil
+
             tmp_cs = tempfile.mkdtemp()
             paths_cs = HydroPaths(filepath=tmp_cs + "/", mc_path="MC/")
             factory = default_synthetic_factory(cfg_cs, par_cs, nr=256, ntheta=48)
@@ -439,6 +445,7 @@ def main():
             with h5py.File(os.path.join(tmp_cs, "MC", "0-6", "mc_proc_0.h5")) as f:
                 last = str(max(int(k) for k in f.keys()))
                 total_ns = float(np.sum(f[last]["NS"]))
+            shutil.rmtree(tmp_cs, ignore_errors=True)
             return el, total_ns
 
         one_run()  # warm-up: compiles every capacity/compaction shape
