@@ -128,8 +128,12 @@ def _cartesian3d_problem(cfg, n_min=600_000, n_max=1_400_000, seed=0):
 
 
 def _time_frame(cfg, host, idx, arrays, key_seed, xsec_table=None,
-                stokes_on=True, mesh=None, repeats=1):
-    """Warm-up + timed transport_frame; returns (rate, res, elapsed)."""
+                stokes_on=True, mesh=None, repeats=3):
+    """Warm-up + timed transport_frame; returns (rate, res, elapsed).
+
+    Median-of-3 by default for EVERY point (round-4 verdict item #10: the
+    single-shot secondary points hid regressions under the ~5-10% run-to-run
+    noise of the shared chip)."""
     import jax
     import jax.numpy as jnp
 
