@@ -532,3 +532,69 @@ def test_riken_3d_driver_end_to_end(tmp_path):
     w0 = pw[2999].sum()
     for fr in frames[1:]:
         np.testing.assert_allclose(pw[fr].sum(), w0, rtol=1e-9)
+
+
+def test_driver_resume_with_dropped_persistence_planes(tmp_path):
+    """With COMV and Stokes outputs off (the reference's defaults,
+    Src/mcrat.h:391-402) the persistence path drops those planes from the
+    device fetch; a driver RESUME through such a slim checkpoint must
+    reconstruct them (comoving momenta recomputed in-round) and finish, and
+    the dumps must omit the COMV_/S* datasets."""
+    import h5py
+    import jax.numpy as jnp
+
+    from mcrat_tpu import transport
+    from mcrat_tpu.io.checkpoint import CheckpointState, save_checkpoint
+
+    cfg = Config(
+        dims=Dims.TWO, geometry=Geometry.SPHERICAL,
+        simulation_type=SimType.SPHERICAL_OUTFLOW, dtype="float64",
+        comv=False, stokes=False,
+    )
+    par = _par(restart="c")
+    paths = HydroPaths(filepath=str(tmp_path) + "/", mc_path="MC/")
+    factory = default_synthetic_factory(cfg, par, nr=128, ntheta=24)
+    work = decompose_work(par, 0, 4, str(tmp_path) + "/MC/")
+    os.makedirs(work.mc_dir, exist_ok=True)
+
+    # the checkpoint an interrupted comv/stokes-off rank leaves: comv_p and
+    # s dropped from the payload (what _PersistWriter.submit_frame writes)
+    host, _ = factory(10)
+    rng = np.random.default_rng(2)
+    arrays, _ = transport.inject_photons(
+        host, work.r_inj, 1e50, par.min_photons, par.max_photons,
+        par.spect, work.theta_min, work.theta_max, par.fps, rng,
+    )
+    ph, meta = transport.photons_from_arrays(arrays, capacity=None, dtype=jnp.float64)
+    w_total = float(np.asarray(ph.weight).sum())
+    ph_slim = ph.replace(
+        comv_p=jnp.zeros((0, 4), ph.p.dtype), s=jnp.zeros((0, 4), ph.p.dtype)
+    )
+    save_checkpoint(
+        work.mc_dir, 0,
+        CheckpointState(
+            frame=10, frm2=work.frm2, scatt_frame=12, time_now=12 / par.fps,
+            restart="c", weight_norm=meta.weight_norm, n_injected=meta.n_injected,
+        ),
+        ph_slim,
+    )
+
+    work2 = run_rank(
+        cfg, par, paths, rank=0, num_ranks=4, chunk_rounds=0,
+        synthetic_frame_factory=factory, progress=False,
+    )
+    proc = os.path.join(work2.mc_dir, "mc_proc_0.h5")
+    with h5py.File(proc) as f:
+        frames = sorted(int(k) for k in f.keys())
+        keys = set(f[str(frames[-1])].keys())
+        w_last = float(np.sum(f[str(frames[-1])]["PW"]))
+        p0 = np.asarray(f[str(frames[-1])]["P0"])
+    assert frames == [12, 13]
+    # schema: the switched-off datasets are absent, like the reference's
+    # COMV_SWITCH/STOKES_SWITCH-gated printPhotons columns
+    assert not any(k.startswith("COMV_") or k.startswith("S") for k in keys), keys
+    assert {"P0", "R0", "NS", "PW", "PT"} <= keys
+    # the resumed transport is healthy: all photons kept their weight and
+    # carry finite positive energies (comv reconstruction worked)
+    np.testing.assert_allclose(w_last, w_total * meta.weight_norm, rtol=1e-9)
+    assert np.isfinite(p0).all() and (p0 > 0).all()
