@@ -389,6 +389,11 @@ class _PersistWriter:
             sub_ph = sub_ph.replace(comv_p=jnp.zeros((0, 4), sub_ph.p.dtype))
         if not cfg.stokes:
             sub_ph = sub_ph.replace(s=jnp.zeros((0, 4), sub_ph.p.dtype))
+        # the containing-cell index is a pure cache: neither the dump nor a
+        # resume needs it persisted (load restores -1 and the first cell
+        # search re-resolves every lane — the rectilinear path does that
+        # every invocation anyway)
+        sub_ph = sub_ph.replace(cell=jnp.zeros((0,), sub_ph.cell.dtype))
         multiproc = jax.process_count() > 1
         if multiproc:
             # the cross-process gather is a COLLECTIVE: it must run on the

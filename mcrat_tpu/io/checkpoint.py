@@ -139,6 +139,11 @@ def load_checkpoint(mc_dir: str, rank: int, dtype="float64"):
                 # dropped (Stokes off): restore the unpolarized init
                 s = np.zeros((n, 4), s.dtype)
                 s[:, 0] = 1.0
+            cell = z["cell"]
+            if cell.shape[0] != n:
+                # dropped (pure cache): the first containing-cell search
+                # after resume re-resolves every lane
+                cell = np.full(n, -1, np.int32)
             photons = Photons(
                 p=jnp.asarray(z["p"], dtype=dtype),
                 comv_p=jnp.asarray(comv_p, dtype=dtype),
@@ -146,7 +151,7 @@ def load_checkpoint(mc_dir: str, rank: int, dtype="float64"):
                 s=jnp.asarray(s, dtype=dtype),
                 weight=jnp.asarray(z["weight"], dtype=dtype),
                 num_scatt=jnp.asarray(z["num_scatt"], dtype=dtype),
-                cell=jnp.asarray(z["cell"], dtype=jnp.int32),
+                cell=jnp.asarray(cell, dtype=jnp.int32),
                 ptype=jnp.asarray(z["ptype"], dtype=jnp.int32),
             )
     return state, photons
